@@ -1,0 +1,16 @@
+"""Test harness config: force the CPU backend with 8 virtual devices so
+multi-chip sharding is exercised without TPU hardware (SURVEY.md §4).
+
+Note: the axon TPU plugin in this image ignores the JAX_PLATFORMS env var,
+so the backend is pinned through jax.config before any backend init.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
