@@ -1,0 +1,115 @@
+"""Fixed-shape scene containers — the central TPU idiom.
+
+The reference feeds batch_size=1 ragged samples (n objects, n(n-1) edges,
+variable crop sizes) through collate_fn (or_dataset.py:63-74). Here a scene is
+padded once to (max_objects, max_edges) static shapes so scenes can be
+stacked, vmapped, and sharded over a device mesh; masks carry validity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class SceneSample:
+    """One padded scene (host-side numpy).
+
+    Shapes (O = max_objects, E = max_edges, Po/Pr = points per obj/rel crop):
+      obj_points   (O, Po, 6)  xyz (zero-mean/unit-sphere) + rgb
+      rel_points   (E, Pr, 7)  xyz + rgb + mask channel (1=subject, 2=object)
+      edge_index   (E, 2)      (src, dst) object-slot indices; 0 on padding
+      rel_onehot   (E, 12)     subject/object coarse-type one-hots, late-fused
+      gt_class     (O,)        object class ids; 0 on padding (masked in loss)
+      gt_rels      (E,)        relation ids; none_index on padding
+      obj_mask     (O,)        bool
+      edge_mask    (E,)        bool
+      rel_hand_points (E, 2, 3) wrist locations in the rel crop frame
+    """
+
+    obj_points: np.ndarray
+    rel_points: np.ndarray
+    edge_index: np.ndarray
+    rel_onehot: np.ndarray
+    gt_class: np.ndarray
+    gt_rels: np.ndarray
+    obj_mask: np.ndarray
+    edge_mask: np.ndarray
+    rel_hand_points: np.ndarray
+    scan_id: str = ""
+    take_idx: int = 0
+    # slot -> object name, for infer-time relation JSON emission
+    # (reference predict_step uses objs_json[edge+1], scene_graph_prediction_model.py:165-175)
+    slot_names: tuple[str, ...] = ()
+    images: np.ndarray | None = None  # (6, H, W, 3) when IMAGE_INPUT == 'full'
+
+    @property
+    def num_objects(self) -> int:
+        return int(self.obj_mask.sum())
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_mask.sum())
+
+
+# array fields stacked into the device batch, in order
+_ARRAY_FIELDS = (
+    "obj_points", "rel_points", "edge_index", "rel_onehot",
+    "gt_class", "gt_rels", "obj_mask", "edge_mask", "rel_hand_points",
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SceneBatch:
+    """A stack of S padded scenes — the device-side training batch pytree.
+
+    Every array gains a leading scene axis; metadata (scan ids, slot names)
+    stays on host as aux data.
+    """
+
+    obj_points: Any
+    rel_points: Any
+    edge_index: Any
+    rel_onehot: Any
+    gt_class: Any
+    gt_rels: Any
+    obj_mask: Any
+    edge_mask: Any
+    rel_hand_points: Any
+    images: Any = None
+    scan_ids: tuple[str, ...] = ()
+    take_idxs: tuple[int, ...] = ()
+    slot_names: tuple[tuple[str, ...], ...] = ()
+
+    @classmethod
+    def stack(cls, samples: list[SceneSample]) -> "SceneBatch":
+        arrays = {f: np.stack([getattr(s, f) for s in samples]) for f in _ARRAY_FIELDS}
+        images = None
+        if samples[0].images is not None:
+            images = np.stack([s.images for s in samples])
+        return cls(
+            **arrays,
+            images=images,
+            scan_ids=tuple(s.scan_id for s in samples),
+            take_idxs=tuple(s.take_idx for s in samples),
+            slot_names=tuple(s.slot_names for s in samples),
+        )
+
+    @property
+    def num_scenes(self) -> int:
+        return self.obj_points.shape[0]
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in _ARRAY_FIELDS) + (self.images,)
+        aux = (self.scan_ids, self.take_idxs, self.slot_names)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kwargs = dict(zip(_ARRAY_FIELDS, children[:-1]))
+        return cls(**kwargs, images=children[-1], scan_ids=aux[0], take_idxs=aux[1], slot_names=aux[2])

@@ -1,0 +1,124 @@
+"""PointNet++ MSG feature encoder — TPU-native.
+
+Architecture mirrors the reference "max we can run" config
+(`pointnet2/models/pointnet2_msg_cls.py:45-78` + SSG base
+`pointnet2_ssg_cls.py:98-124` + SA modules `pointnet2_modules.py:29-115`):
+
+  SA1 (npoint 512): scales (r=0.1, ns=16, mlp [C, 64, 64]),
+                            (r=0.2, ns=32, mlp [C, 64, 128])
+  SA2 (npoint 128): scales (r=0.2, ns=32, mlp [195, 128, 128]),
+                            (r=0.4, ns=64, mlp [195, 128, 128])
+  SA3 (global):     mlp [259, 256, 256]
+
+with use_xyz=True (the +3 on every first mlp width). Output: a 256-d global
+feature per cloud ("return_features=True" path, network_PointNet2.py:21-25).
+
+TPU design: channel-last layout throughout, so every MLP layer is one big
+Dense over (B*npoint*nsample, C) riding the MXU; the ball-query/grouping
+gathers come from :mod:`or4d_tpu.ops`; FPS uses the fused Pallas kernel.
+A row mask (valid objects/edges of padded scenes) threads into every
+BatchNorm so padding never pollutes statistics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from or4d_tpu import ops
+from or4d_tpu.models.layers import MaskedBatchNorm, SharedMLP
+
+
+@dataclasses.dataclass(frozen=True)
+class SAScale:
+    radius: float
+    nsample: int
+    mlp: tuple[int, ...]  # hidden widths AFTER the input (input width inferred)
+
+
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale grouping set abstraction (PointnetSAModuleMSG).
+
+    Input: xyz (B, N, 3), features (B, N, C) channel-last (or None).
+    Output: new_xyz (B, npoint, 3), features (B, npoint, sum(scale outs)).
+    """
+
+    npoint: int
+    scales: Sequence[SAScale]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features, mask=None, train: bool = True):
+        idx = ops.furthest_point_sample(xyz, self.npoint)
+        idx = jax.lax.stop_gradient(idx)
+        new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # (B, npoint, 3)
+
+        outs = []
+        for si, sc in enumerate(self.scales):
+            feats_cl = None if features is None else jnp.swapaxes(features, 1, 2)  # (B, C, N)
+            grouped = ops.query_and_group(sc.radius, sc.nsample, xyz, new_xyz, feats_cl, use_xyz=self.use_xyz)
+            # (B, 3+C, npoint, nsample) -> channel-last (B, npoint, nsample, 3+C)
+            grouped = jnp.transpose(grouped, (0, 2, 3, 1))
+            h = SharedMLP(sc.mlp, name=f"mlp_{si}")(grouped, mask=_expand_mask(mask, grouped), train=train)
+            outs.append(jnp.max(h, axis=2))  # maxpool over nsample -> (B, npoint, C_out)
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class SetAbstractionAll(nn.Module):
+    """Global set abstraction (PointnetSAModule with npoint=None/GroupAll)."""
+
+    mlp: tuple[int, ...]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features, mask=None, train: bool = True):
+        x = jnp.concatenate([xyz, features], axis=-1) if self.use_xyz else features  # (B, N, 3+C)
+        h = SharedMLP(self.mlp, name="mlp")(x, mask=_expand_mask(mask, x), train=train)
+        return None, jnp.max(h, axis=1)  # (B, C_out)
+
+
+def _expand_mask(mask, x):
+    """Broadcast a per-row (B,) mask across the point axes of x (..., C)."""
+    if mask is None:
+        return None
+    return mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim - 1))
+
+
+class PointNet2MSGEncoder(nn.Module):
+    """The reference PointNetfeat2: MSG backbone as a global feature extractor.
+
+    Input: point clouds (B, P, input_dim) channel-last, xyz first 3 channels.
+    Output: (B, out_size) global features (out_size=256 for the paper config).
+    """
+
+    input_dim: int = 6
+    out_size: int = 256
+
+    @nn.compact
+    def __call__(self, pc, mask=None, train: bool = True):
+        xyz = pc[..., 0:3]
+        features = pc[..., 3:] if pc.shape[-1] > 3 else None
+        c_in = self.input_dim - 3
+
+        xyz, features = SetAbstractionMSG(
+            npoint=512,
+            scales=(
+                SAScale(0.1, 16, (64, 64)),
+                SAScale(0.2, 32, (64, 128)),
+            ),
+            name="sa1",
+        )(xyz, features, mask=mask, train=train)
+        xyz, features = SetAbstractionMSG(
+            npoint=128,
+            scales=(
+                SAScale(0.2, 32, (128, 128)),
+                SAScale(0.4, 64, (128, 128)),
+            ),
+            name="sa2",
+        )(xyz, features, mask=mask, train=train)
+        _, features = SetAbstractionAll(mlp=(256, self.out_size), name="sa3")(xyz, features, mask=mask, train=train)
+        return features

@@ -1,0 +1,145 @@
+"""SGPN — the full scene-graph prediction model.
+
+Reference: `scene_graph_helpers/model/scene_graph_prediction_model.py:30-109`:
+  * object encoder: PointNet++ MSG on (O, 4000, 6) crops -> 256-d;
+  * relation encoder: PointNet++ MSG on (E, 8000, 7) union crops -> 256-d;
+  * TripletGCN (2 layers, hidden 512) over the fully connected scene graph;
+  * object head on GCN node features (OBJ_PRED_FROM_GCN) and relation head on
+    GCN edge features with subject/object one-hot late fusion;
+  * optional image branch: frozen EfficientNet trunk, per-camera features
+    reduced to 768/6 and flattened (:98-102).
+
+TPU design: the model consumes a whole :class:`SceneBatch` — scenes stacked
+on a leading axis, objects/edges padded to static maxima. Encoders run on the
+flattened (S*O, P, C) / (S*E, P, C) axes (one big MXU batch); the GCN runs
+per-scene under vmap. Losses are mask-weighted NLL matching torch
+`F.nll_loss(weight=...)` semantics (weighted mean).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from or4d_tpu.config import ExperimentConfig
+from or4d_tpu.models.heads import ObjectClsHead, RelationClsHead
+from or4d_tpu.models.pointnet2 import PointNet2MSGEncoder
+from or4d_tpu.models.triplet_gcn import TripletGCN
+
+
+@dataclasses.dataclass
+class SGPNOutputs:
+    obj_logprobs: Any  # (S, O, num_classes)
+    rel_logprobs: Any  # (S, E, num_relations)
+    obj_features: Any  # (S, O, D)
+    rel_features: Any  # (S, E, D)
+    gcn_obj_features: Any
+    gcn_rel_features: Any
+
+
+jax.tree_util.register_dataclass(
+    SGPNOutputs,
+    data_fields=["obj_logprobs", "rel_logprobs", "obj_features", "rel_features", "gcn_obj_features", "gcn_rel_features"],
+    meta_fields=[],
+)
+
+
+class SGPN(nn.Module):
+    num_classes: int = 12
+    num_relations: int = 15
+    point_feature_size: int = 256
+    edge_feature_size: int = 256
+    gcn_hidden: int = 512
+    gcn_layers: int = 2
+    obj_pred_from_gcn: bool = True
+    use_image: bool = False
+    image_embedding_size: int = 768
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: ExperimentConfig, num_classes: int, num_relations: int) -> "SGPN":
+        return cls(
+            num_classes=num_classes,
+            num_relations=num_relations,
+            point_feature_size=cfg.model.point_feature_size,
+            edge_feature_size=cfg.model.edge_feature_size,
+            gcn_hidden=cfg.model.gcn_hidden_feature_size,
+            gcn_layers=cfg.model.n_layers,
+            obj_pred_from_gcn=cfg.model.obj_pred_from_gcn,
+            use_image=cfg.image_input == "full",
+            image_embedding_size=cfg.model.full_image_embedding_size,
+            compute_dtype=jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32,
+        )
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True) -> SGPNOutputs:
+        S, O, Po, Co = batch.obj_points.shape
+        _, E, Pr, Cr = batch.rel_points.shape
+        obj_mask = batch.obj_mask.astype(jnp.float32)
+        edge_mask = batch.edge_mask.astype(jnp.float32)
+
+        dt = self.compute_dtype
+        obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(dt)
+        rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(dt)
+
+        obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder")(
+            obj_flat, mask=obj_mask.reshape(S * O), train=train
+        ).reshape(S, O, self.point_feature_size)
+        rel_feat = PointNet2MSGEncoder(input_dim=Cr, out_size=self.edge_feature_size, name="rel_encoder")(
+            rel_flat, mask=edge_mask.reshape(S * E), train=train
+        ).reshape(S, E, self.edge_feature_size)
+
+        gcn_obj, gcn_rel = TripletGCN(
+            num_layers=self.gcn_layers,
+            dim_node=self.point_feature_size,
+            dim_edge=self.edge_feature_size,
+            dim_hidden=self.gcn_hidden,
+            name="gcn",
+        )(obj_feat, rel_feat, batch.edge_index, batch.obj_mask, batch.edge_mask, train=train)
+
+        obj_in = gcn_obj if self.obj_pred_from_gcn else obj_feat
+        obj_logprobs = ObjectClsHead(self.num_classes, name="obj_predictor")(obj_in, train=train)
+
+        image_embeddings = None
+        if self.use_image:
+            from or4d_tpu.models.efficientnet import ImageBranch
+
+            image_embeddings = ImageBranch(
+                embedding_size=self.image_embedding_size, name="image_branch"
+            )(batch.images, train=train)  # (S, image_embedding_size)
+
+        rel_logprobs = RelationClsHead(self.num_relations, name="rel_predictor")(
+            gcn_rel,
+            relation_objects_one_hot=batch.rel_onehot,
+            image_embeddings=image_embeddings,
+            train=train,
+        )
+        return SGPNOutputs(
+            obj_logprobs=obj_logprobs.astype(jnp.float32),
+            rel_logprobs=rel_logprobs.astype(jnp.float32),
+            obj_features=obj_feat,
+            rel_features=rel_feat,
+            gcn_obj_features=gcn_obj,
+            gcn_rel_features=gcn_rel,
+        )
+
+
+def weighted_nll(logprobs: jax.Array, targets: jax.Array, class_weights: jax.Array, mask: jax.Array) -> jax.Array:
+    """torch `F.nll_loss(weight=w)` with validity masking: weighted mean of
+    -logprob[target], weights w[target]*mask (reference training_step
+    :134-145)."""
+    picked = jnp.take_along_axis(logprobs, targets[..., None], axis=-1)[..., 0]
+    w = class_weights[targets] * mask.astype(logprobs.dtype)
+    return -jnp.sum(picked * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def sgpn_loss(outputs: SGPNOutputs, batch, weights_obj: jax.Array, weights_rel: jax.Array, lambda_o: float = 1e-6):
+    """loss = lambda_o * obj_nll + rel_nll (reference :139-141)."""
+    loss_obj = weighted_nll(outputs.obj_logprobs, batch.gt_class, weights_obj, batch.obj_mask)
+    loss_rel = weighted_nll(outputs.rel_logprobs, batch.gt_rels, weights_rel, batch.edge_mask)
+    loss = lambda_o * loss_obj + loss_rel
+    return loss, {"loss_obj": loss_obj, "loss_rel": loss_rel, "loss": loss}
