@@ -1,0 +1,60 @@
+"""End-to-end scene-graph inference benchmark — the BASELINE.json north-star
+metric (scenes/sec/chip for the full SGPN model at paper shapes).
+
+Prints ONE JSON line:
+  {"metric": "sg_inference_scenes_per_sec", "value": N, "unit": "scenes/sec",
+   "vs_baseline": N / 10.0}
+
+vs_baseline normalizes against an estimated 10 scenes/sec for the reference
+PyTorch stack on one A100 (the reference publishes no throughput numbers —
+BASELINE.md; batch_size=1 Lightning inference of ~10 object + ~90 relation
+PointNet++ encoder calls per scene). The BASELINE.json target is >= 10x that,
+i.e. vs_baseline >= 10.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from or4d_tpu.config import DatasetConfig
+    from or4d_tpu.data.synthetic import make_scene_batch
+    from or4d_tpu.models import SGPN
+
+    S = 8  # scenes per device batch
+    ds = DatasetConfig()  # paper shapes: 12 obj x 4000 pts, 132 edges x 8000 pts
+    batch = make_scene_batch(num_scenes=S, seed=0, n_objects=9, ds=ds, points_per_obj=2000)
+
+    model = SGPN(num_classes=12, num_relations=15)
+    variables = jax.jit(
+        lambda b: model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, b, train=False)
+    )(batch)
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False).rel_logprobs)
+    fwd(variables, batch).block_until_ready()  # compile + warm
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fwd(variables, batch).block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    scenes_per_sec = S / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "sg_inference_scenes_per_sec",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/sec",
+                "vs_baseline": round(scenes_per_sec / 10.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

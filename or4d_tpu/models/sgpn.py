@@ -59,6 +59,9 @@ class SGPN(nn.Module):
     use_image: bool = False
     image_embedding_size: int = 768
     compute_dtype: Any = jnp.float32
+    # encoder SA centroid counts (reference 512/128); reduced only in tests
+    sa_npoints: tuple[int, int] = (512, 128)
+    sa_nsamples: tuple[tuple[int, int], tuple[int, int]] = ((16, 32), (32, 64))
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig, num_classes: int, num_relations: int) -> "SGPN":
@@ -73,6 +76,8 @@ class SGPN(nn.Module):
             use_image=cfg.image_input == "full",
             image_embedding_size=cfg.model.full_image_embedding_size,
             compute_dtype=jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32,
+            sa_npoints=tuple(cfg.model.sa_npoints),
+            sa_nsamples=tuple(tuple(s) for s in cfg.model.sa_nsamples),
         )
 
     @nn.compact
@@ -86,10 +91,11 @@ class SGPN(nn.Module):
         obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(dt)
         rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(dt)
 
-        obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder")(
+        enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples)
+        obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
             obj_flat, mask=obj_mask.reshape(S * O), train=train
         ).reshape(S, O, self.point_feature_size)
-        rel_feat = PointNet2MSGEncoder(input_dim=Cr, out_size=self.edge_feature_size, name="rel_encoder")(
+        rel_feat = PointNet2MSGEncoder(input_dim=Cr, out_size=self.edge_feature_size, name="rel_encoder", **enc)(
             rel_flat, mask=edge_mask.reshape(S * E), train=train
         ).reshape(S, E, self.edge_feature_size)
 

@@ -42,17 +42,7 @@ def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
-    """First-``nsample``-within-radius neighbour indices.
-
-    ``xyz``: (B, N, 3) support points; ``new_xyz``: (B, M, 3) query centers.
-    Returns (B, M, nsample) int32 indices into N, padded with the first hit
-    (reference semantics). If a query has zero hits the slots hold the overall
-    first index (deterministic; the reference leaves them uninitialized, but
-    in the PointNet++ pipeline queries are FPS-selected support points so the
-    self-distance-0 hit guarantees >= 1 neighbour).
-    """
+def _ball_query_block(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
     N = xyz.shape[-2]
     d2 = pairwise_sqdist(new_xyz, xyz)  # (B, M, N)
     within = d2 < (radius * radius)
@@ -65,3 +55,39 @@ def ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array) 
     idx = jnp.where(hit, -top, -top - N)
     first = idx[..., 0:1]
     return jnp.where(hit, idx, first).astype(jnp.int32)
+
+
+# cap the (chunk, M, N) distance/key temporaries: chunk*M*N*4B*~3 <= ~1.5GB
+_CHUNK_ELEMS = 128 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array) -> jax.Array:
+    """First-``nsample``-within-radius neighbour indices.
+
+    ``xyz``: (B, N, 3) support points; ``new_xyz``: (B, M, 3) query centers.
+    Returns (B, M, nsample) int32 indices into N, padded with the first hit
+    (reference semantics). If a query has zero hits the slots hold the overall
+    first index (deterministic; the reference leaves them uninitialized, but
+    in the PointNet++ pipeline queries are FPS-selected support points so the
+    self-distance-0 hit guarantees >= 1 neighbour).
+
+    Large batches are processed in `lax.map` chunks so the (B, M, N)
+    distance/key temporaries stay HBM-bounded (a padded scene batch is
+    B = scenes x 132 edges rows).
+    """
+    B, M, _ = new_xyz.shape
+    N = xyz.shape[-2]
+    per_row = M * N
+    chunk = max(1, min(B, _CHUNK_ELEMS // max(per_row, 1)))
+    if chunk >= B:
+        return _ball_query_block(radius, nsample, xyz, new_xyz)
+    # pad B to a chunk multiple, map over chunks
+    pad = (-B) % chunk
+    xyz_p = jnp.pad(xyz, ((0, pad), (0, 0), (0, 0)))
+    new_p = jnp.pad(new_xyz, ((0, pad), (0, 0), (0, 0)))
+    nchunks = (B + pad) // chunk
+    xyz_c = xyz_p.reshape(nchunks, chunk, N, 3)
+    new_c = new_p.reshape(nchunks, chunk, M, 3)
+    out = jax.lax.map(lambda ab: _ball_query_block(radius, nsample, ab[0], ab[1]), (xyz_c, new_c))
+    return out.reshape(nchunks * chunk, M, nsample)[:B]

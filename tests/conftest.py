@@ -14,3 +14,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: SGPN CPU compiles dominate test wall-time
+jax.config.update("jax_compilation_cache_dir", "/tmp/or4d_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -1,0 +1,114 @@
+"""Graphormer role-model tests: preprocessing parity with the reference
+chain (star expansion, wrapper offsets, collator padding) and model forward."""
+
+import numpy as np
+import jax
+import pytest
+
+from or4d_tpu.models.graphormer import Graphormer, GraphormerBatch, NEG_INF
+from or4d_tpu.pipeline.role_graphormer import (
+    MAX_NODE,
+    collate_track,
+    node_name_to_id,
+    preprocess_graph,
+    star_expand,
+    track_to_batch,
+)
+
+RELS = [
+    ("human_0", "Assisting", "human_1"),
+    ("human_1", "Sawing", "Patient"),
+    ("Patient", "LyingOn", "operating_table"),
+]
+
+
+class TestStarExpansion:
+    def test_star_graph_structure(self):
+        g = star_expand(RELS, target_name="human_1")
+        # nodes: human_0, TARGET, Patient, operating_table + 3 relation nodes
+        assert len(g.node_ids) == 7
+        assert g.edge_index.shape == (6, 2)
+        assert g.is_target.sum() == 1
+        # relation nodes map through the 22-id vocab
+        assert node_name_to_id("$_Sawing_1") == 20
+        assert node_name_to_id("TARGET") == 8
+        assert node_name_to_id("human_5") == 7
+        assert node_name_to_id("Patient") == 7
+
+    def test_empty_returns_none(self):
+        assert star_expand([], None) is None
+
+    def test_rename_both_positions(self):
+        g = star_expand([("human_0", "CloseTo", "human_0")], target_name="human_0")
+        assert g.is_target.sum() == 1  # renamed consistently, one TARGET node
+
+
+class TestPreprocess:
+    def test_wrapper_offsets_and_degrees(self):
+        g = star_expand(RELS, target_name="human_1")
+        item = preprocess_graph(g)
+        # node ids +1 (convert_to_single_emb)
+        assert item["x"].min() >= 2
+        # star edges: every relation node has in=1 out=1; spatial_pos diagonal 0
+        assert (np.diag(item["spatial_pos"]) == 0).all()
+        # attn_edge_type on edges = 3 (edge_attr 1 + conv +1 + 1)
+        ei = g.edge_index
+        assert (item["attn_edge_type"][ei[:, 0], ei[:, 1]] == 3).all()
+        # sub -> relnode -> obj gives spatial distance 2 between sub and obj
+        subj = np.where(item["x"] == node_name_to_id("human_0") + 1)[0]
+        assert item["spatial_pos"][ei[0, 0], ei[1, 1]] in (1, 2, 12)
+
+    def test_collate_padding(self):
+        g = star_expand(RELS, target_name="human_1")
+        item = preprocess_graph(g)
+        batch = collate_track([item, None], max_graphs=3)
+        assert batch.x.shape == (3, MAX_NODE)
+        n = len(item["x"])
+        # +1 pad offset on everything id-like
+        np.testing.assert_array_equal(batch.x[0, :n], item["x"] + 1)
+        assert (batch.x[0, n:] == 0).all()
+        assert (batch.x[1:] == 0).all()
+        # pad graphs: node attention blocked, virtual token finite
+        assert batch.attn_bias[2, 0, 0] == 0.0
+        assert (batch.attn_bias[2, :, 1:] == NEG_INF).all()
+        assert batch.is_target[0, :n].max() == 2
+
+    def test_track_to_batch(self):
+        b = track_to_batch([RELS, RELS[:1], []], ["human_1", "human_0", None], max_graphs=4)
+        assert b.x.shape[0] == 4
+        assert (b.is_target == 2).sum() >= 1
+
+
+class TestGraphormerModel:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        batch = track_to_batch([RELS, RELS[:2]], ["human_1", "human_1"], max_graphs=2)
+        model = Graphormer(n_layers=2, hidden=16, ffn=16, heads=4)
+        variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False)
+        return model, variables, batch
+
+    def test_forward_shape(self, setup):
+        model, variables, batch = setup
+        logits = model.apply(variables, batch, train=False)
+        assert logits.shape == (5,)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_padding_graph_invariance(self, setup):
+        """Adding an empty padded graph must not change the logits."""
+        model, variables, _ = setup
+        b1 = track_to_batch([RELS], ["human_1"], max_graphs=1)
+        b2 = track_to_batch([RELS], ["human_1"], max_graphs=3)
+        l1 = np.asarray(model.apply(variables, b1, train=False))
+        l2 = np.asarray(model.apply(variables, b2, train=False))
+        np.testing.assert_allclose(l1, l2, atol=1e-5)
+
+    def test_grad_flows(self, setup):
+        model, variables, batch = setup
+
+        def loss(params):
+            logits = model.apply({"params": params}, batch, train=False)
+            return -jax.nn.log_softmax(logits)[1]
+
+        g = jax.grad(loss)(variables["params"])
+        total = sum(float(np.abs(np.asarray(x)).sum()) for x in jax.tree_util.tree_leaves(g))
+        assert total > 0

@@ -1,0 +1,108 @@
+"""Training subsystem tests: metrics vs sklearn, a real multi-device training
+run on the virtual 8-CPU mesh (loss must decrease), checkpoint round-trip,
+and the scan_relations output contract."""
+
+import numpy as np
+import jax
+import pytest
+
+from or4d_tpu.config import DatasetConfig, ExperimentConfig, TPUConfig
+from or4d_tpu.data.synthetic import make_scene_batch
+from or4d_tpu.data.vocab import DEFAULT_VOCAB
+from or4d_tpu.train.loop import Trainer
+from or4d_tpu.train.metrics import RelationMetricAccumulator, classification_report
+
+TINY = DatasetConfig(
+    num_points_objects=96, num_points_relation=128, max_objects=4, max_edges=12,
+    data_augmentation=False,  # augmentation has its own tests; keep the
+    # sharded train-step compile cheap on the CPU mesh
+)
+
+
+def tiny_cfg(**tpu_kw):
+    from or4d_tpu.config import ModelConfig
+
+    return ExperimentConfig(
+        dataset=TINY,
+        lr=1e-3,
+        model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8))),
+        # donate_state=False: tests share one state fixture across steps
+        tpu=TPUConfig(scene_batch=2, donate_state=False, **tpu_kw),
+    )
+
+
+class TestMetrics:
+    def test_matches_sklearn(self):
+        from sklearn.metrics import classification_report as sk_report
+
+        rng = np.random.default_rng(0)
+        labels = list("abcde")
+        y_true = rng.integers(0, 5, 200)
+        y_pred = rng.integers(0, 5, 200)
+        got = classification_report(y_true, y_pred, labels)
+        want = sk_report(y_true, y_pred, labels=range(5), target_names=labels, output_dict=True, zero_division=0)
+        for i, l in enumerate(labels):
+            np.testing.assert_allclose(got.precision[i], want[l]["precision"], atol=1e-9)
+            np.testing.assert_allclose(got.recall[i], want[l]["recall"], atol=1e-9)
+            np.testing.assert_allclose(got.f1[i], want[l]["f1-score"], atol=1e-9)
+        np.testing.assert_allclose(got.macro_f1, want["macro avg"]["f1-score"], atol=1e-9)
+        np.testing.assert_allclose(got.weighted_f1, want["weighted avg"]["f1-score"], atol=1e-9)
+
+    def test_accumulator_per_take(self):
+        acc = RelationMetricAccumulator(["a", "b", "none"])
+        acc.update(1, np.array([0, 1]), np.array([0, 0]))
+        acc.update(2, np.array([1]), np.array([1]))
+        reports = acc.per_take_reports()
+        assert set(reports) == {1, 2}
+        assert reports[2].f1[1] == 1.0
+        assert 0 < acc.macro_f1 <= 1.0
+
+
+@pytest.fixture(scope="module")
+def trainer_and_state():
+    cfg = tiny_cfg()
+    trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+    batch = make_scene_batch(2, seed=0, n_objects=3, ds=TINY, points_per_obj=150)
+    state = trainer.init_state(jax.random.key(0), batch)
+    return trainer, state, batch
+
+
+class TestTrainLoop:
+    def test_mesh_uses_all_devices(self, trainer_and_state):
+        trainer, _, _ = trainer_and_state
+        assert trainer.mesh.devices.size == jax.device_count() == 8
+
+    def test_loss_decreases(self, trainer_and_state):
+        trainer, state, batch = trainer_and_state
+        losses = []
+        rng = jax.random.key(1)
+        for i in range(12):
+            rng, key = jax.random.split(rng)
+            state, parts, _ = trainer.train_step(state, batch, key)
+            losses.append(float(parts["loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+    def test_eval_and_predict_contract(self, trainer_and_state):
+        trainer, state, batch = trainer_and_state
+        f1 = trainer.evaluate(state, [batch])
+        assert 0.0 <= f1 <= 1.0
+        rels = trainer.predict_relations(state, [batch])
+        assert set(rels) == set(batch.scan_ids)
+        for scan_id, triplets in rels.items():
+            for sub, rel, obj in triplets:
+                assert rel in DEFAULT_VOCAB.relation_names and rel != "none"
+                assert isinstance(sub, str) and isinstance(obj, str)
+
+    def test_checkpoint_roundtrip(self, trainer_and_state, tmp_path):
+        from or4d_tpu.train import checkpoint as ckpt
+
+        trainer, state, batch = trainer_and_state
+        d = tmp_path / "ckpts"
+        ckpt.save(d, state, step=3)
+        assert ckpt.latest_step(d) == 3
+        restored = ckpt.restore(d, state)
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
