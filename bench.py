@@ -25,22 +25,27 @@ def main() -> None:
     from or4d_tpu.data.synthetic import make_scene_batch
     from or4d_tpu.models import SGPN
 
+    import jax.numpy as jnp
+
     S = 8  # scenes per device batch
     ds = DatasetConfig()  # paper shapes: 12 obj x 4000 pts, 132 edges x 8000 pts
     batch = make_scene_batch(num_scenes=S, seed=0, n_objects=9, ds=ds, points_per_obj=2000)
 
-    model = SGPN(num_classes=12, num_relations=15)
+    model = SGPN(num_classes=12, num_relations=15, compute_dtype=jnp.bfloat16)
     variables = jax.jit(
         lambda b: model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, b, train=False)
     )(batch)
 
-    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False).rel_logprobs)
-    fwd(variables, batch).block_until_ready()  # compile + warm
+    # scalar-reduce the output: the axon backend's block_until_ready does not
+    # reliably block, and bulk host pulls ride a slow tunnel — a scalar pull
+    # forces full execution with negligible transfer
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False).rel_logprobs.sum())
+    float(fwd(variables, batch))  # compile + warm
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        fwd(variables, batch).block_until_ready()
+        float(fwd(variables, batch))
     dt = (time.perf_counter() - t0) / iters
     scenes_per_sec = S / dt
 

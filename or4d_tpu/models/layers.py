@@ -70,11 +70,12 @@ class SharedMLP(nn.Module):
 
     channels: Sequence[int]
     use_bn: bool = True
+    dtype: object = jnp.float32  # bf16 puts the Dense matmuls on the MXU fast path
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None, train: bool = True) -> jax.Array:
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, use_bias=not self.use_bn, name=f"dense_{i}")(x)
+            x = nn.Dense(ch, use_bias=not self.use_bn, dtype=self.dtype, name=f"dense_{i}")(x)
             if self.use_bn:
                 x = MaskedBatchNorm(ch, name=f"bn_{i}")(x, mask=mask, train=train)
             x = nn.relu(x)

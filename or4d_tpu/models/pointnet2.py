@@ -50,20 +50,37 @@ class SetAbstractionMSG(nn.Module):
     npoint: int
     scales: Sequence[SAScale]
     use_xyz: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True):
+        from or4d_tpu.ops.pallas_ball_query import ball_query_multiscale
+
         idx = ops.furthest_point_sample(xyz, self.npoint)
         idx = jax.lax.stop_gradient(idx)
         new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # (B, npoint, 3)
 
+        # one fused distance pass serves every scale's ball query
+        scale_idx = ball_query_multiscale(
+            tuple((sc.radius, sc.nsample) for sc in self.scales), xyz, new_xyz
+        )
         outs = []
         for si, sc in enumerate(self.scales):
-            feats_cl = None if features is None else jnp.swapaxes(features, 1, 2)  # (B, C, N)
-            grouped = ops.query_and_group(sc.radius, sc.nsample, xyz, new_xyz, feats_cl, use_xyz=self.use_xyz)
-            # (B, 3+C, npoint, nsample) -> channel-last (B, npoint, nsample, 3+C)
-            grouped = jnp.transpose(grouped, (0, 2, 3, 1))
-            h = SharedMLP(sc.mlp, name=f"mlp_{si}")(grouped, mask=_expand_mask(mask, grouped), train=train)
+            qidx = jax.lax.stop_gradient(scale_idx[si])
+            grouped_xyz = jnp.take_along_axis(
+                xyz[:, :, None, :], qidx[..., None], axis=1
+            )  # (B, npoint, nsample, 3)
+            grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
+            if features is not None:
+                grouped_feats = jnp.take_along_axis(features[:, :, None, :], qidx[..., None], axis=1)
+                grouped = (
+                    jnp.concatenate([grouped_xyz, grouped_feats], axis=-1) if self.use_xyz else grouped_feats
+                )
+            else:
+                grouped = grouped_xyz
+            h = SharedMLP(sc.mlp, dtype=self.dtype, name=f"mlp_{si}")(
+                grouped.astype(self.dtype), mask=_expand_mask(mask, grouped), train=train
+            )
             outs.append(jnp.max(h, axis=2))  # maxpool over nsample -> (B, npoint, C_out)
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -73,11 +90,12 @@ class SetAbstractionAll(nn.Module):
 
     mlp: tuple[int, ...]
     use_xyz: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True):
-        x = jnp.concatenate([xyz, features], axis=-1) if self.use_xyz else features  # (B, N, 3+C)
-        h = SharedMLP(self.mlp, name="mlp")(x, mask=_expand_mask(mask, x), train=train)
+        x = jnp.concatenate([xyz.astype(features.dtype), features], axis=-1) if self.use_xyz else features
+        h = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(x.astype(self.dtype), mask=_expand_mask(mask, x), train=train)
         return None, jnp.max(h, axis=1)  # (B, C_out)
 
 
@@ -102,10 +120,11 @@ class PointNet2MSGEncoder(nn.Module):
     sa_npoints: tuple[int, int] = (512, 128)
     # ball-query sample counts per scale; reference (16, 32) and (32, 64)
     sa_nsamples: tuple[tuple[int, int], tuple[int, int]] = ((16, 32), (32, 64))
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, pc, mask=None, train: bool = True):
-        xyz = pc[..., 0:3]
+        xyz = pc[..., 0:3].astype(jnp.float32)  # geometry stays f32 (FPS/query exactness)
         features = pc[..., 3:] if pc.shape[-1] > 3 else None
 
         xyz, features = SetAbstractionMSG(
@@ -114,6 +133,7 @@ class PointNet2MSGEncoder(nn.Module):
                 SAScale(0.1, self.sa_nsamples[0][0], (64, 64)),
                 SAScale(0.2, self.sa_nsamples[0][1], (64, 128)),
             ),
+            dtype=self.dtype,
             name="sa1",
         )(xyz, features, mask=mask, train=train)
         xyz, features = SetAbstractionMSG(
@@ -122,7 +142,10 @@ class PointNet2MSGEncoder(nn.Module):
                 SAScale(0.2, self.sa_nsamples[1][0], (128, 128)),
                 SAScale(0.4, self.sa_nsamples[1][1], (128, 128)),
             ),
+            dtype=self.dtype,
             name="sa2",
         )(xyz, features, mask=mask, train=train)
-        _, features = SetAbstractionAll(mlp=(256, self.out_size), name="sa3")(xyz, features, mask=mask, train=train)
+        _, features = SetAbstractionAll(mlp=(256, self.out_size), dtype=self.dtype, name="sa3")(
+            xyz, features, mask=mask, train=train
+        )
         return features

@@ -87,11 +87,12 @@ class SGPN(nn.Module):
         obj_mask = batch.obj_mask.astype(jnp.float32)
         edge_mask = batch.edge_mask.astype(jnp.float32)
 
-        dt = self.compute_dtype
-        obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(dt)
-        rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(dt)
+        # geometry stays f32 (FPS/ball-query exactness); the encoders cast
+        # features to compute_dtype at each MLP entry
+        obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(jnp.float32)
+        rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(jnp.float32)
 
-        enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples)
+        enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples, dtype=self.compute_dtype)
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
             obj_flat, mask=obj_mask.reshape(S * O), train=train
         ).reshape(S, O, self.point_feature_size)

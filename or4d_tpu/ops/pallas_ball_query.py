@@ -1,0 +1,154 @@
+"""Fused Pallas TPU ball-query kernel.
+
+The XLA formulation (ops/ball_query.py) materializes the (B, M, N) distance
+and key tensors in HBM and runs `top_k` over N — measured 371 ms for the SA1
+relation-encoder shape (132x512 queries over 8000 points) on v5e, and 17 GB
+of temporaries at scene_batch=8. This kernel keeps everything in VMEM:
+
+  * distances by direct diff on the VPU — exactly the CUDA kernel's f32
+    arithmetic (ball_query_gpu.cu:30-33), no matmul-expansion cancellation;
+  * "first nsample in scan order" via an inclusive prefix-count of the
+    within-radius mask (Hillis–Steele with `pltpu.roll`), then one masked
+    reduction per output slot (the n-th hit is the unique lane whose running
+    count equals n);
+  * first-hit padding and the all-miss fallback exactly as the reference;
+  * multi-scale fusion: all (radius, nsample) scales of one SA stage reuse a
+    single distance tile.
+
+Grid: (B, M/TM); per program a (TM, N) f32 tile lives in VMEM (TM=128,
+N padded to a lane multiple).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 128  # queries per program
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _prefix_count(mask_f: jax.Array, col: jax.Array, n: int) -> jax.Array:
+    """Inclusive prefix sum along lanes via log-step shifted adds."""
+    c = mask_f
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(c, shift, 1)
+        c = c + jnp.where(col >= shift, rolled, 0.0)
+        shift *= 2
+    return c
+
+
+def _make_kernel(scales: tuple[tuple[float, int], ...], n_valid: int):
+    def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *out_refs):
+        x = x_ref[0]  # (1, N)
+        y = y_ref[0]
+        z = z_ref[0]
+        qx = qx_ref[0].reshape(_TM, 1)
+        qy = qy_ref[0].reshape(_TM, 1)
+        qz = qz_ref[0].reshape(_TM, 1)
+
+        dx = qx - x
+        dy = qy - y
+        dz = qz - z
+        d2 = dx * dx + dy * dy + dz * dz  # (TM, N)
+        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
+        in_range = col < n_valid
+
+        for s, (radius, nsample) in enumerate(scales):
+            mask = (d2 < radius * radius) & in_range
+            c = _prefix_count(mask.astype(jnp.float32), col, d2.shape[1])
+            # hit-rank at hit lanes (1-based), 0 elsewhere
+            hitc = jnp.where(mask, c, 0.0).astype(jnp.int32)
+
+            cols = []
+            first = None
+            for k in range(1, nsample + 1):
+                sel = hitc == k
+                idx_k = jnp.sum(jnp.where(sel, col, 0), axis=1, keepdims=True)  # (TM, 1)
+                if first is None:
+                    # slot 0 = first hit; 0 when the query has no hits (the
+                    # reference leaves those slots uninitialized — in the
+                    # PointNet++ pipeline queries are support points, so a
+                    # zero-distance self-hit always exists)
+                    first = idx_k
+                    cols.append(idx_k)
+                else:
+                    has_k = jnp.sum(sel.astype(jnp.int32), axis=1, keepdims=True) > 0
+                    cols.append(jnp.where(has_k, idx_k, first))
+            out_refs[s][0] = jnp.concatenate(cols, axis=1).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def ball_query_multiscale_pallas(
+    scales: tuple[tuple[float, int], ...],
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, ...]:
+    """Run all (radius, nsample) scales over one support/query set.
+
+    ``xyz``: (B, N, 3); ``new_xyz``: (B, M, 3). Returns one (B, M, nsample)
+    int32 index array per scale.
+    """
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    Np = _round_up(N, 128)
+    Mp = _round_up(M, _TM)
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+
+    G = Mp // _TM
+    # rank-3 layouts satisfying Mosaic block constraints (trailing block dims
+    # equal the array dims): support (B, 1, Np); queries (B*G, 1, TM)
+    sup = [jnp.pad(xyz[..., i], ((0, 0), (0, Np - N)))[:, None, :] for i in range(3)]
+    qry = [
+        jnp.pad(new_xyz[..., i], ((0, 0), (0, Mp - M))).reshape(B * G, 1, _TM) for i in range(3)
+    ]
+
+    grid = (B, G)
+    qspec = pl.BlockSpec((1, 1, _TM), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1, Np), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+    out_specs = tuple(
+        pl.BlockSpec((1, _TM, ns), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM) for _, ns in scales
+    )
+    out_shapes = tuple(jax.ShapeDtypeStruct((B * G, _TM, ns), jnp.int32) for _, ns in scales)
+
+    outs = pl.pallas_call(
+        _make_kernel(scales, N),
+        grid=grid,
+        in_specs=[qspec, qspec, qspec, sspec, sspec, sspec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*qry, *sup)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    return tuple(o.reshape(B, Mp, -1)[:, :M, :] for o in outs)
+
+
+def ball_query_pallas(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array, interpret: bool = False) -> jax.Array:
+    return ball_query_multiscale_pallas(((float(radius), int(nsample)),), xyz, new_xyz, interpret)[0]
+
+
+def ball_query_multiscale(scales, xyz: jax.Array, new_xyz: jax.Array) -> tuple[jax.Array, ...]:
+    """Dispatcher: fused Pallas kernel on TPU, XLA fallback elsewhere.
+
+    ``scales``: ((radius, nsample), ...). Returns one (B, M, nsample_i) index
+    array per scale.
+    """
+    scales = tuple((float(r), int(ns)) for r, ns in scales)
+    if jax.default_backend() == "tpu":
+        return ball_query_multiscale_pallas(scales, xyz, new_xyz)
+    from or4d_tpu.ops.ball_query import ball_query
+
+    return tuple(ball_query(r, ns, xyz, new_xyz) for r, ns in scales)

@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_B_TILE = 8
 _MAG_EPS = 1e-3
+_LANES = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -34,41 +34,45 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fps_kernel(x_ref, y_ref, z_ref, out_ref, npoint: int):
-    x = x_ref[:]  # (8, N)
-    y = y_ref[:]
-    z = z_ref[:]
+    """8 clouds per program as (8, N) tiles riding the f32 sublanes.
+
+    Pass-minimized step: validity is folded into the initial min-distance
+    (invalid lanes start at -1 and, since squared distances are >= 0, can
+    never win the running min), selection stays a (8, 1) vector (no
+    vector->scalar crossings), and coordinates of the selection come from one
+    one-hot mask reused across the three reductions.
+    """
+    x = x_ref[0]  # (8, N)
+    y = y_ref[0]
+    z = z_ref[0]
     n = x.shape[1]
     mag = x * x + y * y + z * z
-    valid = mag > _MAG_EPS
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
-    out_col = jax.lax.broadcasted_iota(jnp.int32, (_B_TILE, npoint), dimension=1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape[1:], dimension=1)
+    zero = jnp.zeros_like(x)
 
     def body(j, carry):
-        # Mosaic cannot lane-slice stores at dynamic offsets, so the output
-        # buffer rides the carry and is committed with one full-width store.
         mind, sel, outbuf = carry  # (8, N), (8, 1), (8, npoint)
-        onehot = col == sel  # (8, N)
-        zero = jnp.zeros_like(x)
+        onehot = col == sel
         x0 = jnp.sum(jnp.where(onehot, x, zero), axis=1, keepdims=True)
         y0 = jnp.sum(jnp.where(onehot, y, zero), axis=1, keepdims=True)
         z0 = jnp.sum(jnp.where(onehot, z, zero), axis=1, keepdims=True)
         dx = x - x0
         dy = y - y0
         dz = z - z0
-        d = dx * dx + dy * dy + dz * dz
-        mind = jnp.minimum(mind, d)
-        mval = jnp.where(valid, mind, -1.0)
-        best = jnp.max(mval, axis=1, keepdims=True)
-        # first index achieving the row max (reference tie-break: lowest index)
-        sel = jnp.min(jnp.where(mval == best, col, n), axis=1, keepdims=True).astype(jnp.int32)
+        mind = jnp.minimum(mind, dx * dx + dy * dy + dz * dz)
+        best = jnp.max(mind, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(mind == best, col, n), axis=1, keepdims=True).astype(jnp.int32)
         outbuf = jnp.where(out_col == j, sel, outbuf)
         return mind, sel, outbuf
 
-    mind0 = jnp.full(x.shape, jnp.inf, dtype=jnp.float32)
-    sel0 = jnp.zeros((_B_TILE, 1), jnp.int32)
-    out0 = jnp.zeros((_B_TILE, npoint), jnp.int32)
+    # invalid (mag <= 1e-3) lanes pinned to -1: they never update and never
+    # win (reference skip quirk, sampling_gpu.cu:100)
+    mind0 = jnp.where(mag > _MAG_EPS, jnp.float32(jnp.inf), jnp.float32(-1.0))
+    sel0 = jnp.zeros((x.shape[0], 1), jnp.int32)
+    out0 = jnp.zeros(out_ref.shape[1:], jnp.int32)
     _, _, outbuf = jax.lax.fori_loop(1, npoint, body, (mind0, sel0, out0))
-    out_ref[:] = outbuf
+    out_ref[0] = outbuf
 
 
 def fps_pallas_supported(shape: tuple[int, ...], npoint: int) -> bool:
@@ -80,22 +84,24 @@ def fps_pallas_supported(shape: tuple[int, ...], npoint: int) -> bool:
 def furthest_point_sample_pallas(xyz: jax.Array, npoint: int, interpret: bool = False) -> jax.Array:
     """(B, N, 3) float -> (B, npoint) int32 FPS indices via the fused kernel."""
     B, N, _ = xyz.shape
-    Bp = _round_up(max(B, 1), _B_TILE)
-    Np = _round_up(max(N, 1), 128)
+    Np = _round_up(max(N, 1), _LANES)
+    Bp = _round_up(max(B, 1), 8)
+    G = Bp // 8
     xyz = xyz.astype(jnp.float32)
     pad = ((0, Bp - B), (0, Np - N))
-    x = jnp.pad(xyz[..., 0], pad)
-    y = jnp.pad(xyz[..., 1], pad)
-    z = jnp.pad(xyz[..., 2], pad)
+    # (G, 8, Np) tiles per coordinate — 8 clouds ride the f32 sublanes
+    x = jnp.pad(xyz[..., 0], pad).reshape(G, 8, Np)
+    y = jnp.pad(xyz[..., 1], pad).reshape(G, 8, Np)
+    z = jnp.pad(xyz[..., 2], pad).reshape(G, 8, Np)
 
-    grid = (Bp // _B_TILE,)
-    spec = pl.BlockSpec((_B_TILE, Np), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (G,)
+    spec = pl.BlockSpec((1, 8, Np), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fps_kernel, npoint=npoint),
         grid=grid,
         in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec((_B_TILE, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, npoint), jnp.int32),
+        out_specs=pl.BlockSpec((1, 8, npoint), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 8, npoint), jnp.int32),
         interpret=interpret,
     )(x, y, z)
-    return out[:B]
+    return out.reshape(Bp, npoint)[:B]
