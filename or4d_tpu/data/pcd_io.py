@@ -1,0 +1,176 @@
+"""PCD point-cloud IO + native ingest bindings.
+
+The reference reads scans with open3d (`o3d.io.read_point_cloud`,
+dataset_utils.py:70) and voxel-downsamples with
+`voxel_down_sample_and_trace` (data_preparation_utils.py:37-49). Here the
+host-side hot loops live in the native C++ runtime
+(native/or4d_ingest.cpp — PCD v0.7 ascii/binary/binary_compressed with LZF,
+voxel-grid selection, fused union-crop), bound through ctypes with a pure-
+numpy fallback so the package works before `make -C native`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libor4d_ingest.so"
+_lib = None
+
+
+def _load_native(build: bool = True):
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and build and (_NATIVE_DIR / "Makefile").exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+        except Exception:
+            return None
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.or4d_read_pcd.restype = ctypes.c_long
+    lib.or4d_read_pcd.argtypes = [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long]
+    lib.or4d_voxel_downsample.restype = ctypes.c_long
+    lib.or4d_voxel_downsample.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_float, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.or4d_downsample_sweep.restype = ctypes.c_long
+    lib.or4d_downsample_sweep.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.or4d_lzf_decompress.restype = ctypes.c_long
+    lib.or4d_lzf_decompress.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+def read_pcd(path: str | Path) -> np.ndarray:
+    """Read a PCD file -> (N, 6) float32 [xyz, rgb in 0..1]."""
+    lib = _load_native()
+    path = str(path)
+    if lib is not None:
+        n = lib.or4d_read_pcd(path.encode(), None, 0)
+        if n < 0:
+            raise IOError(f"failed to parse PCD header: {path}")
+        out = np.empty((n, 6), np.float32)
+        got = lib.or4d_read_pcd(path.encode(), out.ctypes.data_as(ctypes.c_void_p), n)
+        if got != n:
+            raise IOError(f"failed to read PCD body: {path} ({got}/{n})")
+        return out
+    return _read_pcd_numpy(path)
+
+
+def voxel_downsample_indices_native(xyz: np.ndarray, voxel_size: float, max_per_voxel: int = 8) -> np.ndarray:
+    """Native voxel-grid selection; falls back to the numpy implementation
+    in :mod:`or4d_tpu.data.prep`."""
+    lib = _load_native()
+    xyz = np.ascontiguousarray(xyz[:, :3], np.float32)
+    if lib is not None:
+        out = np.empty(len(xyz), np.int64)
+        k = lib.or4d_voxel_downsample(
+            xyz.ctypes.data_as(ctypes.c_void_p), len(xyz), ctypes.c_float(voxel_size), max_per_voxel,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out[:k]
+    from or4d_tpu.data.prep import voxel_downsample_indices
+
+    return voxel_downsample_indices(xyz, voxel_size)
+
+
+def downsample_sweep_native(xyz: np.ndarray, target: int, max_per_voxel: int = 8) -> np.ndarray:
+    """The reference's voxel sweep in native code (before the random final
+    subset); returns candidate indices (> target count, or all)."""
+    lib = _load_native()
+    xyz = np.ascontiguousarray(xyz[:, :3], np.float32)
+    if lib is not None:
+        out = np.empty(len(xyz), np.int64)
+        k = lib.or4d_downsample_sweep(
+            xyz.ctypes.data_as(ctypes.c_void_p), len(xyz), target, max_per_voxel,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out[:k]
+    raise RuntimeError("native ingest library unavailable")
+
+
+# ---------------------------------------------------------------------------
+# numpy fallback PCD reader (ascii/binary; binary_compressed needs native LZF)
+# ---------------------------------------------------------------------------
+
+def _read_pcd_numpy(path: str) -> np.ndarray:
+    header: dict[str, list[str]] = {}
+    with open(path, "rb") as f:
+        while True:
+            line = f.readline().decode("ascii", errors="replace").strip()
+            if not line:
+                raise IOError(f"unexpected EOF in header: {path}")
+            key, *vals = line.split()
+            header[key] = vals
+            if key == "DATA":
+                break
+        fields = header["FIELDS"]
+        sizes = [int(s) for s in header["SIZE"]]
+        types = header["TYPE"]
+        n = int(header["POINTS"][0])
+        mode = header["DATA"][0]
+
+        np_types = {("F", 4): "f4", ("F", 8): "f8", ("U", 1): "u1", ("U", 2): "u2", ("U", 4): "u4", ("I", 1): "i1", ("I", 2): "i2", ("I", 4): "i4"}
+        dtype = np.dtype([(name, np_types[(t, s)]) for name, t, s in zip(fields, types, sizes)])
+        if mode == "ascii":
+            rows = np.loadtxt(f, max_rows=n)
+            rec = np.core.records.fromarrays(rows.T, dtype=dtype) if rows.ndim == 2 else rows.view(dtype)
+        elif mode == "binary":
+            rec = np.frombuffer(f.read(dtype.itemsize * n), dtype=dtype, count=n)
+        else:
+            raise IOError(f"binary_compressed PCD requires the native ingest library: {path}")
+
+    out = np.zeros((n, 6), np.float32)
+    out[:, 0] = np.asarray(rec["x"], np.float32)
+    out[:, 1] = np.asarray(rec["y"], np.float32)
+    out[:, 2] = np.asarray(rec["z"], np.float32)
+    if "rgb" in fields:
+        packed = np.asarray(rec["rgb"], np.float32).view(np.uint32)
+        out[:, 3] = ((packed >> 16) & 0xFF) / 255.0
+        out[:, 4] = ((packed >> 8) & 0xFF) / 255.0
+        out[:, 5] = (packed & 0xFF) / 255.0
+    elif all(c in fields for c in "rgb"):
+        for i, c in enumerate("rgb"):
+            out[:, 3 + i] = np.asarray(rec[c], np.float32) / 255.0
+    return out
+
+
+def write_pcd(path: str | Path, points: np.ndarray, binary: bool = True) -> None:
+    """Write (N, 6) [xyz rgb01] as PCD v0.7 with a packed-float rgb field."""
+    points = np.asarray(points, np.float32)
+    n = len(points)
+    rgb = (
+        (np.clip(points[:, 3] * 255, 0, 255).astype(np.uint32) << 16)
+        | (np.clip(points[:, 4] * 255, 0, 255).astype(np.uint32) << 8)
+        | np.clip(points[:, 5] * 255, 0, 255).astype(np.uint32)
+    ).view(np.float32) if points.shape[1] >= 6 else None
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+        f"FIELDS x y z{' rgb' if rgb is not None else ''}\n"
+        f"SIZE 4 4 4{' 4' if rgb is not None else ''}\n"
+        f"TYPE F F F{' F' if rgb is not None else ''}\n"
+        f"COUNT 1 1 1{' 1' if rgb is not None else ''}\n"
+        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
+        f"DATA {'binary' if binary else 'ascii'}\n"
+    )
+    cols = [points[:, 0], points[:, 1], points[:, 2]] + ([rgb] if rgb is not None else [])
+    body = np.stack(cols, axis=1).astype(np.float32)
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if binary:
+            f.write(body.tobytes())
+        else:
+            np.savetxt(f, body, fmt="%.6f")

@@ -64,20 +64,35 @@ class SetAbstractionMSG(nn.Module):
         scale_idx = ball_query_multiscale(
             tuple((sc.radius, sc.nsample) for sc in self.scales), xyz, new_xyz
         )
+        # gathers are latency-bound per row, so widening a row is ~free:
+        # narrow features fuse [xyz | feats] into ONE gather; wide features
+        # (later SA stages) keep a separate gather from a compute-dtype cast
+        # so the grouped temporaries don't blow HBM at batch scale
+        C = 0 if features is None else features.shape[-1]
+        fuse = features is not None and C <= 32
+        if fuse:
+            src = jnp.concatenate([xyz, features.astype(jnp.float32)], axis=-1)
+        elif features is not None:
+            feats_c = features.astype(self.dtype)
+
         outs = []
         for si, sc in enumerate(self.scales):
             qidx = jax.lax.stop_gradient(scale_idx[si])
-            grouped_xyz = jnp.take_along_axis(
-                xyz[:, :, None, :], qidx[..., None], axis=1
-            )  # (B, npoint, nsample, 3)
-            grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
-            if features is not None:
-                grouped_feats = jnp.take_along_axis(features[:, :, None, :], qidx[..., None], axis=1)
-                grouped = (
-                    jnp.concatenate([grouped_xyz, grouped_feats], axis=-1) if self.use_xyz else grouped_feats
-                )
+            if fuse:
+                g = jnp.take_along_axis(src[:, :, None, :], qidx[..., None], axis=1)
+                rel_xyz = g[..., :3] - new_xyz[:, :, None, :]
+                grouped = jnp.concatenate([rel_xyz, g[..., 3:]], axis=-1) if self.use_xyz else g[..., 3:]
             else:
-                grouped = grouped_xyz
+                rel_xyz = (
+                    jnp.take_along_axis(xyz[:, :, None, :], qidx[..., None], axis=1) - new_xyz[:, :, None, :]
+                )
+                if features is None:
+                    grouped = rel_xyz
+                else:
+                    gf = jnp.take_along_axis(feats_c[:, :, None, :], qidx[..., None], axis=1)
+                    grouped = (
+                        jnp.concatenate([rel_xyz.astype(self.dtype), gf], axis=-1) if self.use_xyz else gf
+                    )
             h = SharedMLP(sc.mlp, dtype=self.dtype, name=f"mlp_{si}")(
                 grouped.astype(self.dtype), mask=_expand_mask(mask, grouped), train=train
             )
