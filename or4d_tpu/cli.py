@@ -1,14 +1,18 @@
-"""CLI — train / evaluate / infer, mirroring the reference driver
-(`scene_graph_prediction/main.py:36-124`) with one binary instead of four
-conda envs.
+"""CLI — the whole pipeline behind one binary (the reference spreads this
+over four conda envs and six entry scripts).
 
   python -m or4d_tpu.cli train    --config no_gt
   python -m or4d_tpu.cli evaluate --config no_gt --checkpoint-dir ckpts
   python -m or4d_tpu.cli infer    --config no_gt --checkpoint-dir ckpts \
       --split test  # writes scan_relations_{config}_{split}.json
+  python -m or4d_tpu.cli roles    --relations scan_relations_*.json \
+      --tracks tracks.pickle --output roles.json   # heuristic role prediction
+  python -m or4d_tpu.cli phases   --relations scan_relations_*.json \
+      --roles roles.json --output-dir phases_to_frames
 
-Inference output format is the reference interchange contract consumed by
-role prediction and phase recognition (main.py:111-115).
+Interchange formats are the reference contracts: scan_relations json
+(main.py:111-115), role json (heuristic_based_role_prediction.py:392),
+phase_to_frames json (recognize_surgery_phase.py:182-189).
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ from or4d_tpu.train.loop import Trainer
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="or4d_tpu", description=__doc__)
-    p.add_argument("mode", choices=["train", "evaluate", "infer"])
+    p.add_argument("mode", choices=["train", "evaluate", "infer", "roles", "phases"])
     p.add_argument("--config", default="no_gt", help="builtin config name or JSON path")
     p.add_argument("--data-root", default="data")
     p.add_argument("--checkpoint-dir", default=None)
@@ -37,12 +41,87 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--limit", type=int, default=None, help="limit scans (smoke runs)")
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--output", default=None, help="infer output json path")
+    p.add_argument("--output", default=None, help="output json path")
+    # downstream stages
+    p.add_argument("--relations", default=None, help="scan_relations json (roles/phases input)")
+    p.add_argument("--tracks", default=None, help="tracks pickle ({take}_scene_graph_track_*.pickle format)")
+    p.add_argument("--roles", default=None, help="role predictions json (phases input)")
+    p.add_argument("--output-dir", default="phases_to_frames")
     return p
+
+
+def _load_scan_relations(path: str) -> dict[str, list]:
+    raw = json.loads(Path(path).read_text())
+    # reference keys may carry a _{split} suffix (get_take_rels strips it)
+    out = {}
+    for k, v in raw.items():
+        parts = k.split("_")
+        key = "_".join(parts[:2]) if len(parts) > 2 else k
+        out[key] = [tuple(r) for r in v]
+    return out
+
+
+def run_roles(args) -> int:
+    """Heuristic role prediction over predicted scene graphs
+    (role_prediction/heuristic_based_role_prediction.py main path)."""
+    import pickle
+
+    from or4d_tpu.pipeline.roles_heuristic import predict_roles_for_take, write_role_json
+
+    scan_relations = _load_scan_relations(args.relations)
+    takes = sorted({int(k.split("_")[0]) for k in scan_relations})
+    all_roles: dict[str, dict] = {}
+    for take_idx in takes:
+        frame_to_relations = {
+            k.split("_", 1)[1]: v for k, v in scan_relations.items() if int(k.split("_")[0]) == take_idx
+        }
+        if args.tracks:
+            tracks = pickle.loads(Path(args.tracks).read_bytes())
+        else:
+            # without tracking data, every human name becomes a one-name track
+            # spanning the frames it appears in (degenerate but well-defined)
+            names: dict[str, dict] = {}
+            for frame, rels in frame_to_relations.items():
+                for s, _r, o in rels:
+                    for n in (s, o):
+                        if "human" in n or n == "Patient":
+                            names.setdefault(n, {"timestamp_to_human_pose": {}})[
+                                "timestamp_to_human_pose"
+                            ][frame] = (n, np.zeros((14, 3)))
+            tracks = list(names.values())
+        all_roles.update(predict_roles_for_take(take_idx, tracks, frame_to_relations))
+    out = args.output or "rule_based_role_predictions.json"
+    write_role_json(out, all_roles)
+    print(f"wrote {out} ({len(all_roles)} frames)")
+    return 0
+
+
+def run_phases(args) -> int:
+    """Surgery-phase recognition over predicted scene graphs + roles
+    (surgery_phase_recognition/recognize_surgery_phase.py)."""
+    from or4d_tpu.pipeline.phases import recognize_phases, write_phase_json
+
+    scan_relations = _load_scan_relations(args.relations)
+    role_predictions = json.loads(Path(args.roles).read_text()) if args.roles else {}
+    takes = sorted({int(k.split("_")[0]) for k in scan_relations})
+    outdir = Path(args.output_dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    stem = Path(args.relations).stem
+    for take_idx in takes:
+        take_sgs = {k: v for k, v in scan_relations.items() if int(k.split("_")[0]) == take_idx}
+        phases = recognize_phases(take_sgs, role_predictions)
+        out = outdir / f"{stem}_phase_to_frames_{take_idx}.json"
+        write_phase_json(out, phases)
+        print(f"take {take_idx}: {list(phases)} -> {out}")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.mode == "roles":
+        return run_roles(args)
+    if args.mode == "phases":
+        return run_phases(args)
     cfg = load_config(args.config)
     vocab = DEFAULT_VOCAB
     print(f"devices: {jax.devices()}")
