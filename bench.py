@@ -36,16 +36,20 @@ def main() -> None:
         lambda b: model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, b, train=False)
     )(batch)
 
+    from or4d_tpu.data.scene_batch import SlotPack
+
+    pack = SlotPack.build(batch)  # skip padded slots through the encoders
+
     # scalar-reduce the output: the axon backend's block_until_ready does not
     # reliably block, and bulk host pulls ride a slow tunnel — a scalar pull
     # forces full execution with negligible transfer
-    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False).rel_logprobs.sum())
-    float(fwd(variables, batch))  # compile + warm
+    fwd = jax.jit(lambda v, b, p: model.apply(v, b, train=False, pack=p).rel_logprobs.sum())
+    float(fwd(variables, batch, pack))  # compile + warm
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(fwd(variables, batch))
+        float(fwd(variables, batch, pack))
     dt = (time.perf_counter() - t0) / iters
     scenes_per_sec = S / dt
 

@@ -138,3 +138,42 @@ class SceneBatch:
     def tree_unflatten(cls, aux, children):
         kwargs = dict(zip(_ARRAY_FIELDS, children[:-1]))
         return cls(**kwargs, images=children[-1], scan_ids=aux[0], take_idxs=aux[1], slot_names=aux[2])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SlotPack:
+    """Packing plan: valid object/edge slots compacted to the front.
+
+    Built on host from the (static per-batch) masks so the encoders process
+    only ~sum(valid) rows instead of S*max slots; results scatter back into
+    the padded layout for the GCN. Capacities are bucketed so jit re-traces
+    only when a batch crosses a bucket boundary.
+
+      obj_idx  (Co,) flat indices into S*O; obj_valid (Co,) bool
+      edge_idx (Ce,) flat indices into S*E; edge_valid (Ce,) bool
+    """
+
+    obj_idx: Any
+    obj_valid: Any
+    edge_idx: Any
+    edge_valid: Any
+
+    @classmethod
+    def build(cls, batch: "SceneBatch", bucket: int = 128) -> "SlotPack":
+        def plan(mask):
+            flat = np.asarray(mask).reshape(-1)
+            idx = np.nonzero(flat)[0]
+            cap = max(bucket, int(np.ceil(len(idx) / bucket)) * bucket)
+            cap = min(cap, len(flat))
+            if len(idx) > cap:  # cannot happen (cap >= len when cap==len(flat))
+                idx = idx[:cap]
+            valid = np.zeros(cap, bool)
+            valid[: len(idx)] = True
+            padded = np.zeros(cap, np.int32)
+            padded[: len(idx)] = idx
+            return padded, valid
+
+        oi, ov = plan(batch.obj_mask)
+        ei, ev = plan(batch.edge_mask)
+        return cls(obj_idx=oi, obj_valid=ov, edge_idx=ei, edge_valid=ev)

@@ -81,24 +81,38 @@ class SGPN(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, batch, train: bool = True) -> SGPNOutputs:
+    def __call__(self, batch, train: bool = True, pack=None) -> SGPNOutputs:
         S, O, Po, Co = batch.obj_points.shape
         _, E, Pr, Cr = batch.rel_points.shape
-        obj_mask = batch.obj_mask.astype(jnp.float32)
-        edge_mask = batch.edge_mask.astype(jnp.float32)
 
         # geometry stays f32 (FPS/ball-query exactness); the encoders cast
         # features to compute_dtype at each MLP entry
         obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(jnp.float32)
         rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(jnp.float32)
+        obj_rows_mask = batch.obj_mask.reshape(S * O).astype(jnp.float32)
+        edge_rows_mask = batch.edge_mask.reshape(S * E).astype(jnp.float32)
+        if pack is not None:
+            # slot packing: run the encoders only over (bucketed) valid rows,
+            # then scatter features back into the padded (S, O/E) layout
+            obj_flat = jnp.take(obj_flat, pack.obj_idx, axis=0)
+            rel_flat = jnp.take(rel_flat, pack.edge_idx, axis=0)
+            obj_rows_mask = pack.obj_valid.astype(jnp.float32)
+            edge_rows_mask = pack.edge_valid.astype(jnp.float32)
 
         enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples, dtype=self.compute_dtype)
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
-            obj_flat, mask=obj_mask.reshape(S * O), train=train
-        ).reshape(S, O, self.point_feature_size)
+            obj_flat, mask=obj_rows_mask, train=train
+        )
         rel_feat = PointNet2MSGEncoder(input_dim=Cr, out_size=self.edge_feature_size, name="rel_encoder", **enc)(
-            rel_flat, mask=edge_mask.reshape(S * E), train=train
-        ).reshape(S, E, self.edge_feature_size)
+            rel_flat, mask=edge_rows_mask, train=train
+        )
+        if pack is not None:
+            ov = pack.obj_valid[:, None].astype(obj_feat.dtype)
+            ev = pack.edge_valid[:, None].astype(rel_feat.dtype)
+            obj_feat = jnp.zeros((S * O, self.point_feature_size), obj_feat.dtype).at[pack.obj_idx].add(obj_feat * ov)
+            rel_feat = jnp.zeros((S * E, self.edge_feature_size), rel_feat.dtype).at[pack.edge_idx].add(rel_feat * ev)
+        obj_feat = obj_feat.reshape(S, O, self.point_feature_size)
+        rel_feat = rel_feat.reshape(S, E, self.edge_feature_size)
 
         gcn_obj, gcn_rel = TripletGCN(
             num_layers=self.gcn_layers,

@@ -74,7 +74,7 @@ class Trainer:
             return init_fn(shard_batch(sample_batch, self.mesh))
 
     # ------------------------------------------------------------------ steps
-    def _train_step(self, state: TrainState, batch: SceneBatch, key: jax.Array):
+    def _train_step(self, state: TrainState, batch: SceneBatch, key: jax.Array, pack=None):
         aug_key, drop_key = jax.random.split(key)
         if self.cfg.dataset.data_augmentation:
             batch = augment_batch(aug_key, batch)
@@ -84,6 +84,7 @@ class Trainer:
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,
                 train=True,
+                pack=pack,
                 rngs={"dropout": drop_key},
                 mutable=["batch_stats"],
             )
@@ -96,9 +97,9 @@ class Trainer:
         new_state = TrainState(step=state.step + 1, params=new_params, batch_stats=new_stats, opt_state=new_opt)
         return new_state, parts, rel_logprobs
 
-    def _eval_step(self, state: TrainState, batch: SceneBatch):
+    def _eval_step(self, state: TrainState, batch: SceneBatch, pack=None):
         outputs = self.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, batch, train=False
+            {"params": state.params, "batch_stats": state.batch_stats}, batch, train=False, pack=pack
         )
         return outputs.rel_logprobs, outputs.obj_logprobs
 
@@ -119,13 +120,25 @@ class Trainer:
         self._jit_cache[name] = fn
         return fn
 
+    def _pack_for(self, batch: SceneBatch):
+        """Slot packing skips padded object/edge rows through the encoders.
+        Only on a single-device mesh: the pack gathers across the global
+        scene axis, which would defeat dp locality."""
+        if self.mesh.devices.size != 1:
+            return None
+        from or4d_tpu.data.scene_batch import SlotPack
+
+        return SlotPack.build(batch)
+
     def train_step(self, state: TrainState, batch: SceneBatch, key: jax.Array):
+        pack = self._pack_for(batch)
         with self.mesh:
-            return self._jitted("train")(state, shard_batch(batch, self.mesh), key)
+            return self._jitted("train")(state, shard_batch(batch, self.mesh), key, pack)
 
     def eval_step(self, state: TrainState, batch: SceneBatch):
+        pack = self._pack_for(batch)
         with self.mesh:
-            return self._jitted("eval")(state, shard_batch(batch, self.mesh))
+            return self._jitted("eval")(state, shard_batch(batch, self.mesh), pack)
 
     # ------------------------------------------------------------------ loops
     def fit(
@@ -137,11 +150,17 @@ class Trainer:
         rng: jax.Array | None = None,
         log_every: int = 100,
         checkpoint_dir: str | None = None,
+        log_dir: str | None = None,
     ):
         """Epoch loop with per-take metric accumulation (reference
         training_epoch_end/validation_epoch_end)."""
         from or4d_tpu.train import checkpoint as ckpt
 
+        logger = None
+        if log_dir:
+            from or4d_tpu.utils.logging import MetricsLogger
+
+            logger = MetricsLogger(log_dir, name=self.cfg.name)
         epochs = epochs or self.cfg.max_epochs
         rng = rng if rng is not None else jax.random.key(self.cfg.seed)
         history = []
@@ -163,8 +182,14 @@ class Trainer:
                 record["val_macro_f1"] = self.evaluate(state, val_batches)
             history.append(record)
             print(f"epoch {epoch}: {record}")
+            if logger:
+                logger.log(epoch, **record, steps_per_sec=1e3 / timer.mean_ms if timer.mean_ms else 0.0)
+                logger.log_per_take(epoch, "train", acc.per_take_reports())
+                logger.log_report("train_report", epoch, acc.overall_report().to_text())
             if checkpoint_dir:
                 ckpt.save(checkpoint_dir, state, step=epoch)
+        if logger:
+            logger.close()
         return state, history
 
     def evaluate(self, state: TrainState, batches, verbose: bool = False) -> float:
