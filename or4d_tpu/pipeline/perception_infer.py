@@ -1,0 +1,92 @@
+"""L1 inference drivers — produce the reference interchange artifacts.
+
+Reference artifact contract (SURVEY.md §1 L1 row):
+  * HigherHRNet 2D poses -> `pred_or_4d_hrnet_coco_{split}.npz`
+    (tools/calculate_2d_human_pose.py:94-207): {"{take}_{frame}_{cam}": (P, J, 3)}
+  * VoxelPose 3D poses  -> `pred_{take}_{frame}.npy`
+    (get_human_poses_4D_OR.py:103-109): (num_people, 14, 3) world mm
+  * Group-Free boxes    -> `group_free_predictions/{take}_{scan}.npz`
+    (ap_helper.py:263-322): dict with classes_nms, bboxes_nms (K, 7),
+    scores_nms
+
+These drivers batch scans through the jitted models and write exactly those
+formats so the downstream stages (compute_instance_labels, scene-graph
+training without GT) consume them unchanged.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def write_2d_pose_npz(path: str | Path, per_frame_people: dict[str, np.ndarray]) -> None:
+    """{"{take}_{frame}_{cam}": (P, J, 3) [x, y, score]} -> npz (the HRNet
+    inference dump format)."""
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in per_frame_people.items()})
+
+
+def infer_2d_poses(model, variables, images_by_key: dict[str, np.ndarray], max_people: int = 10) -> dict[str, np.ndarray]:
+    """Run HigherHRNet per camera image; group with associative embeddings."""
+    import jax
+    import jax.numpy as jnp
+
+    from or4d_tpu.models.higherhrnet import aggregate_heatmaps, group_people_by_tags
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    out = {}
+    for key, img in images_by_key.items():
+        low, high = fwd(variables, jnp.asarray(img[None]))
+        low = np.asarray(low[0])
+        high = np.asarray(high[0])
+        J = high.shape[-1]
+        agg = aggregate_heatmaps(low, high)
+        tags = np.asarray(
+            jax.image.resize(jnp.asarray(low[..., J:]), high.shape[:-1] + (J,), "bilinear")
+        )
+        people = group_people_by_tags(agg, tags, max_people=max_people)
+        out[key] = np.stack(people) if people else np.zeros((0, J, 3))
+    return out
+
+
+def infer_3d_poses(model, variables, heatmaps: np.ndarray, cameras: dict, heatmap_scale, out_path: str | Path, threshold: float = 0.1) -> np.ndarray:
+    """VoxelPose forward -> (P, 14, 3) world poses; writes pred_*.npy."""
+    import jax
+    import jax.numpy as jnp
+
+    poses, scores, _ = jax.jit(lambda v, h: model.apply(v, h, cameras, jnp.asarray(heatmap_scale), train=False))(
+        variables, jnp.asarray(heatmaps)
+    )
+    poses = np.asarray(poses)
+    scores = np.asarray(scores)
+    keep = scores > threshold
+    result = poses[keep]
+    np.save(out_path, result)
+    return result
+
+
+def infer_boxes(model, variables, point_cloud: np.ndarray, mean_size_arr: np.ndarray, out_path: str | Path, nms_iou: float = 0.25, score_threshold: float = 0.05) -> dict:
+    """Group-Free forward -> NMS'd boxes npz in the reference dict format."""
+    import jax
+    import jax.numpy as jnp
+
+    from or4d_tpu.models.groupfree import decode_boxes, nms_3d_axis_aligned
+
+    out = jax.jit(lambda v, pc: model.apply(v, pc, jnp.asarray(mean_size_arr), train=False))(
+        variables, jnp.asarray(point_cloud[None])
+    )
+    center, size, heading, cls, score = decode_boxes(out["last"], mean_size_arr)
+    center, size, heading, cls, score = map(lambda x: np.asarray(x)[0], (center, size, heading, cls, score))
+    ok = score > score_threshold
+    center, size, heading, cls, score = center[ok], size[ok], heading[ok], cls[ok], score[ok]
+    keep = nms_3d_axis_aligned(center, size, score, iou_threshold=nms_iou)
+    boxes7 = np.concatenate([center[keep], size[keep], heading[keep, None]], axis=1)
+    result = {"classes_nms": cls[keep], "bboxes_nms": boxes7, "scores_nms": score[keep]}
+    np.savez_compressed(out_path, result)
+    return result
+
+
+def load_boxes_npz(path: str | Path) -> dict:
+    """Read the group_free_predictions npz (compute_instance_labels.py:159)."""
+    return np.load(path, allow_pickle=True)["arr_0"].item()
