@@ -126,7 +126,7 @@ class Graphormer(nn.Module):
     num_degree: int = 64
 
     @nn.compact
-    def __call__(self, batch: GraphormerBatch, train: bool = True):
+    def __call__(self, batch: GraphormerBatch, train: bool = True, perturb=None):
         G, N = batch.x.shape
         H = self.heads
         emb = lambda n, d, name: nn.Embed(n, d, embedding_init=_EMB_INIT, name=name)
@@ -167,7 +167,10 @@ class Graphormer(nn.Module):
         bias = bias + batch.attn_bias[:, None, :, :]  # "reset" add of the mask
 
         # ---- node features + graph token
-        node = atom_encoder(batch.x) + in_deg_enc(batch.in_degree) + out_deg_enc(batch.out_degree)
+        node = atom_encoder(batch.x)
+        if perturb is not None:
+            node = node + perturb  # FLAG adversarial perturbation (flag.py)
+        node = node + in_deg_enc(batch.in_degree) + out_deg_enc(batch.out_degree)
         tok = jnp.broadcast_to(graph_token[None], (G, 1, self.hidden))
         h = jnp.concatenate([tok, node], axis=1)
         h = nn.Dropout(self.input_dropout, deterministic=not train)(h)

@@ -67,12 +67,13 @@ def _make_kernel(scales: tuple[tuple[float, int], ...], n_valid: int):
             c = _prefix_count(mask.astype(jnp.float32), col, d2.shape[1])
             # hit-rank at hit lanes (1-based), 0 elsewhere
             hitc = jnp.where(mask, c, 0.0).astype(jnp.int32)
+            # total hits per row: one reduction replaces a per-slot has_k pass
+            total = jnp.max(hitc, axis=1, keepdims=True)  # (TM, 1)
 
             cols = []
             first = None
             for k in range(1, nsample + 1):
-                sel = hitc == k
-                idx_k = jnp.sum(jnp.where(sel, col, 0), axis=1, keepdims=True)  # (TM, 1)
+                idx_k = jnp.sum(jnp.where(hitc == k, col, 0), axis=1, keepdims=True)  # (TM, 1)
                 if first is None:
                     # slot 0 = first hit; 0 when the query has no hits (the
                     # reference leaves those slots uninitialized — in the
@@ -81,8 +82,7 @@ def _make_kernel(scales: tuple[tuple[float, int], ...], n_valid: int):
                     first = idx_k
                     cols.append(idx_k)
                 else:
-                    has_k = jnp.sum(sel.astype(jnp.int32), axis=1, keepdims=True) > 0
-                    cols.append(jnp.where(has_k, idx_k, first))
+                    cols.append(jnp.where(total >= k, idx_k, first))
             out_refs[s][0] = jnp.concatenate(cols, axis=1).astype(jnp.int32)
 
     return kernel

@@ -86,6 +86,56 @@ class GraphormerTrainer:
     def train_step(self, state, batch: GraphormerBatch, label: int, key: jax.Array):
         return self._train_step(state, batch, jnp.asarray(label), key)
 
+    # ------------------------------------------------------------- FLAG
+    def flag_train_step(self, state, batch: GraphormerBatch, label: int, key: jax.Array, m: int = 3, step_size: float = 1e-3, mag: float = 1e-3):
+        """FLAG adversarial-perturbation training
+        (role_prediction/graphormer/utils/flag.py:9-51): ascend the loss in
+        the node-embedding perturbation with sign steps projected to an
+        L2 ball of radius ``mag``, averaging the loss over m inner steps."""
+        if not hasattr(self, "_flag_step"):
+
+            def one(params, perturb, batch, label, key):
+                def loss_fn(pert):
+                    logits = self.model.apply(
+                        {"params": params}, batch, train=True, rngs={"dropout": key}, perturb=pert
+                    )
+                    return -jax.nn.log_softmax(logits)[label]
+
+                return jax.value_and_grad(loss_fn)(perturb)
+
+            self._flag_inner = jax.jit(one)
+
+            def grad_at(params, perturb, batch, label, key):
+                def loss_fn(p):
+                    logits = self.model.apply(
+                        {"params": p}, batch, train=True, rngs={"dropout": key}, perturb=perturb
+                    )
+                    return -jax.nn.log_softmax(logits)[label]
+
+                return jax.value_and_grad(loss_fn)(params)
+
+            self._flag_param_grad = jax.jit(grad_at)
+
+        G, N = batch.x.shape
+        shape = (G, N, self.hidden)
+        key, pk = jax.random.split(key)
+        perturb = jax.random.uniform(pk, shape, minval=-1.0, maxval=1.0) * (mag / np.sqrt(self.hidden))
+        grad_acc = jax.tree_util.tree_map(jnp.zeros_like, state["params"])
+        total_loss = 0.0
+        label_arr = jnp.asarray(label)
+        for _ in range(m):
+            key, dk = jax.random.split(key)
+            loss, pgrad = self._flag_inner(state["params"], perturb, batch, label_arr, dk)
+            g = self._flag_param_grad(state["params"], perturb, batch, label_arr, dk)[1]
+            grad_acc = jax.tree_util.tree_map(lambda a, b: a + b / m, grad_acc, g)
+            total_loss += float(loss) / m
+            perturb = perturb + step_size * jnp.sign(pgrad)
+            norm = jnp.linalg.norm(perturb, axis=-1, keepdims=True)
+            perturb = jnp.where(norm > mag, perturb * (mag / jnp.maximum(norm, 1e-12)), perturb)
+        updates, opt_state = self.tx.update(grad_acc, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state, "step": state["step"] + 1}, total_loss
+
     def _score_impl(self, params, batch: GraphormerBatch):
         logits = self.model.apply({"params": params}, batch, train=False)
         return jax.nn.softmax(logits / 4.0)  # temperature-4 scoring
