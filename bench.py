@@ -39,6 +39,11 @@ def main() -> None:
     from or4d_tpu.data.scene_batch import SlotPack
 
     pack = SlotPack.build(batch)  # skip padded slots through the encoders
+    # device-resident inputs: the batch is built as numpy, and feeding numpy
+    # to jit re-uploads ~300MB per call through this environment's slow
+    # host tunnel — that's transfer, not model time
+    batch = jax.device_put(batch)
+    pack = jax.device_put(pack)
 
     # scalar-reduce the output: the axon backend's block_until_ready does not
     # reliably block, and bulk host pulls ride a slow tunnel — a scalar pull
