@@ -202,7 +202,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "instance-labels":
         return run_instance_labels(args)
     cfg = load_config(args.config)
-    vocab = DEFAULT_VOCAB
+    # vocab from data files when shipped, embedded defaults otherwise
+    from pathlib import Path as _P
+
+    from or4d_tpu.data.vocab import Vocab
+
+    vocab = (
+        Vocab.from_files(args.data_root)
+        if (_P(args.data_root) / "classes.txt").exists()
+        else DEFAULT_VOCAB
+    )
     print(f"devices: {jax.devices()}")
 
     train_ds = ORDataset(cfg, "train", vocab, data_root=args.data_root)
@@ -237,6 +246,8 @@ def main(argv: list[str] | None = None) -> int:
         split = args.split or "val"
         eval_ds = ORDataset(cfg, split, vocab, data_root=args.data_root)
         state = init_or_restore()
+        # verbose=True: per-take classification reports, the reference's
+        # evaluate_predictions output
         f1 = trainer.evaluate(state, eval_ds.batches(batch_size, limit=args.limit), verbose=True)
         print(json.dumps({"split": split, "relation_macro_f1": f1}))
     else:  # infer

@@ -39,11 +39,19 @@ _SPLIT_FILES = {
 
 
 def load_relationship_scans(root: str | Path, split: str) -> list[dict]:
-    """Load the split's scans list; [] when the json is absent."""
-    p = Path(root) / _SPLIT_FILES[split]
-    if not p.exists():
-        return []
-    return json.load(open(p))["scans"]
+    """Load the split's scans list; [] when the json is absent.
+
+    For test, real annotations (relationships_test.json) are preferred over
+    the dummy stand-in when present (the reference's dataset_utils.py:44-46
+    TODO made actionable)."""
+    candidates = [_SPLIT_FILES[split]]
+    if split == "test":
+        candidates.insert(0, "relationships_test.json")
+    for name in candidates:
+        p = Path(root) / name
+        if p.exists():
+            return json.load(open(p))["scans"]
+    return []
 
 
 def filter_scans(scans: list[dict], vocab: Vocab, split: str, max_objects: int) -> list[dict]:
