@@ -40,6 +40,52 @@ class SAScale:
     mlp: tuple[int, ...]  # hidden widths AFTER the input (input width inferred)
 
 
+class DelayedSharedMLP(nn.Module):
+    """SharedMLP for grouped neighborhoods with DELAYED AGGREGATION.
+
+    The first grouped conv layer is separable because its input is
+    [p - q | f_p] and the SA MLPs are bias-free (BN follows every conv):
+
+        W @ [p - q, f_p] = W @ [p, f_p] - W_xyz @ q
+
+    so layer 1 is computed once per SUPPORT point (N evaluations instead of
+    npoint*nsample overlapping ones — the Mesorasi delayed-aggregation
+    insight), the gather moves layer-1 outputs instead of raw channels, the
+    per-query term is subtracted post-gather, and BN/ReLU + the remaining
+    layers proceed on the grouped tensor. Exact up to float reassociation.
+
+    Parameter names/shapes mirror SharedMLP (dense_i/bn_i), so checkpoint
+    import is unchanged.
+    """
+
+    channels: Sequence[int]
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, new_xyz, qidx, mask=None, train: bool = True):
+        support_in = (
+            jnp.concatenate([xyz, features], axis=-1) if features is not None else xyz
+        ).astype(self.dtype)
+        dense0 = nn.Dense(self.channels[0], use_bias=False, dtype=self.dtype, name="dense_0")
+        A = dense0(support_in)  # (B, N, C1): W @ [p, f_p]
+        pad_q = jnp.concatenate(
+            [new_xyz.astype(self.dtype), jnp.zeros(new_xyz.shape[:-1] + (support_in.shape[-1] - 3,), self.dtype)],
+            axis=-1,
+        )
+        Bq = dense0(pad_q)  # (B, M, C1): W_xyz @ q (zero feature channels)
+
+        gathered = jnp.take_along_axis(A[:, :, None, :], qidx[..., None], axis=1)  # (B, M, S, C1)
+        h = gathered - Bq[:, :, None, :]
+        m = _expand_mask(mask, h)
+        h = MaskedBatchNorm(self.channels[0], name="bn_0")(h, mask=m, train=train)
+        h = nn.relu(h)
+        for i, ch in enumerate(self.channels[1:], start=1):
+            h = nn.Dense(ch, use_bias=False, dtype=self.dtype, name=f"dense_{i}")(h)
+            h = MaskedBatchNorm(ch, name=f"bn_{i}")(h, mask=m, train=train)
+            h = nn.relu(h)
+        return h
+
+
 class SetAbstractionMSG(nn.Module):
     """Multi-scale grouping set abstraction (PointnetSAModuleMSG).
 
@@ -64,37 +110,11 @@ class SetAbstractionMSG(nn.Module):
         scale_idx = ball_query_multiscale(
             tuple((sc.radius, sc.nsample) for sc in self.scales), xyz, new_xyz
         )
-        # gathers are latency-bound per row, so widening a row is ~free:
-        # narrow features fuse [xyz | feats] into ONE gather; wide features
-        # (later SA stages) keep a separate gather from a compute-dtype cast
-        # so the grouped temporaries don't blow HBM at batch scale
-        C = 0 if features is None else features.shape[-1]
-        fuse = features is not None and C <= 32
-        if fuse:
-            src = jnp.concatenate([xyz, features.astype(jnp.float32)], axis=-1)
-        elif features is not None:
-            feats_c = features.astype(self.dtype)
-
         outs = []
         for si, sc in enumerate(self.scales):
             qidx = jax.lax.stop_gradient(scale_idx[si])
-            if fuse:
-                g = jnp.take_along_axis(src[:, :, None, :], qidx[..., None], axis=1)
-                rel_xyz = g[..., :3] - new_xyz[:, :, None, :]
-                grouped = jnp.concatenate([rel_xyz, g[..., 3:]], axis=-1) if self.use_xyz else g[..., 3:]
-            else:
-                rel_xyz = (
-                    jnp.take_along_axis(xyz[:, :, None, :], qidx[..., None], axis=1) - new_xyz[:, :, None, :]
-                )
-                if features is None:
-                    grouped = rel_xyz
-                else:
-                    gf = jnp.take_along_axis(feats_c[:, :, None, :], qidx[..., None], axis=1)
-                    grouped = (
-                        jnp.concatenate([rel_xyz.astype(self.dtype), gf], axis=-1) if self.use_xyz else gf
-                    )
-            h = SharedMLP(sc.mlp, dtype=self.dtype, name=f"mlp_{si}")(
-                grouped.astype(self.dtype), mask=_expand_mask(mask, grouped), train=train
+            h = DelayedSharedMLP(sc.mlp, dtype=self.dtype, name=f"mlp_{si}")(
+                xyz, features, new_xyz, qidx, mask=mask, train=train
             )
             outs.append(jnp.max(h, axis=2))  # maxpool over nsample -> (B, npoint, C_out)
         return new_xyz, jnp.concatenate(outs, axis=-1)
