@@ -59,10 +59,13 @@ class DelayedSharedMLP(nn.Module):
     """
 
     channels: Sequence[int]
+    radius: float = 0.0
+    nsample: int = 0
+    fused: bool = False  # fused Pallas ball-query+group (TPU)
     dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz, features, new_xyz, qidx, mask=None, train: bool = True):
+    def __call__(self, xyz, features, new_xyz, qidx=None, mask=None, train: bool = True):
         support_in = (
             jnp.concatenate([xyz, features], axis=-1) if features is not None else xyz
         ).astype(self.dtype)
@@ -74,7 +77,17 @@ class DelayedSharedMLP(nn.Module):
         )
         Bq = dense0(pad_q)  # (B, M, C1): W_xyz @ q (zero feature channels)
 
-        gathered = jnp.take_along_axis(A[:, :, None, :], qidx[..., None], axis=1)  # (B, M, S, C1)
+        if self.fused:
+            # one Pallas kernel: distances + first-k selection emit the
+            # grouped layer-1 features directly via one-hot MXU selection —
+            # no index tensors, no HBM gathers
+            from or4d_tpu.ops.pallas_ball_query import ball_query_group_pallas
+
+            gathered = ball_query_group_pallas(
+                ((float(self.radius), int(self.nsample)),), xyz, new_xyz, (A,)
+            )[0]
+        else:
+            gathered = jnp.take_along_axis(A[:, :, None, :], qidx[..., None], axis=1)  # (B, M, S, C1)
         h = gathered - Bq[:, :, None, :]
         m = _expand_mask(mask, h)
         h = MaskedBatchNorm(self.channels[0], name="bn_0")(h, mask=m, train=train)
@@ -106,16 +119,19 @@ class SetAbstractionMSG(nn.Module):
         idx = jax.lax.stop_gradient(idx)
         new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # (B, npoint, 3)
 
-        # one fused distance pass serves every scale's ball query
-        scale_idx = ball_query_multiscale(
-            tuple((sc.radius, sc.nsample) for sc in self.scales), xyz, new_xyz
-        )
+        fused = jax.default_backend() == "tpu"
+        scale_idx = None
+        if not fused:
+            # XLA fallback: one fused distance pass serves every scale
+            scale_idx = ball_query_multiscale(
+                tuple((sc.radius, sc.nsample) for sc in self.scales), xyz, new_xyz
+            )
         outs = []
         for si, sc in enumerate(self.scales):
-            qidx = jax.lax.stop_gradient(scale_idx[si])
-            h = DelayedSharedMLP(sc.mlp, dtype=self.dtype, name=f"mlp_{si}")(
-                xyz, features, new_xyz, qidx, mask=mask, train=train
-            )
+            qidx = None if fused else jax.lax.stop_gradient(scale_idx[si])
+            h = DelayedSharedMLP(
+                sc.mlp, radius=sc.radius, nsample=sc.nsample, fused=fused, dtype=self.dtype, name=f"mlp_{si}"
+            )(xyz, features, new_xyz, qidx, mask=mask, train=train)
             outs.append(jnp.max(h, axis=2))  # maxpool over nsample -> (B, npoint, C_out)
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
