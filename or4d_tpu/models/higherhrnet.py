@@ -169,6 +169,56 @@ class HigherHRNet(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# training losses: heatmap MSE + associative-embedding pull/push
+# (reference: HigherHRNet core/loss.py — HeatmapLoss and AELoss)
+# ---------------------------------------------------------------------------
+
+def heatmap_loss(pred: jax.Array, gt: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """Per-pixel MSE against gaussian-rendered GT heatmaps; optional valid
+    mask (the reference masks crowd regions)."""
+    d = (pred - gt) ** 2
+    if mask is not None:
+        d = d * mask[..., None]
+    return jnp.mean(d)
+
+
+def ae_loss(tags: jax.Array, joint_pos: jax.Array, joint_valid: jax.Array, pull_weight: float = 1.0, push_weight: float = 1.0):
+    """Associative-embedding grouping loss (Newell et al.; core/loss.py AELoss).
+
+    ``tags``: (H, W, J) predicted tag maps; ``joint_pos``: (P, J, 2) int GT
+    pixel positions per person; ``joint_valid``: (P, J) bool. Pull: each
+    person's joint tags toward their mean; push: person means apart
+    (exp(-d^2) penalty). Static shapes: invalid people/joints masked.
+    """
+    P, J, _ = joint_pos.shape
+    xs = jnp.clip(joint_pos[..., 0], 0, tags.shape[1] - 1)
+    ys = jnp.clip(joint_pos[..., 1], 0, tags.shape[0] - 1)
+    jidx = jnp.broadcast_to(jnp.arange(J)[None, :], (P, J))
+    per_joint_tags = tags[ys, xs, jidx]  # (P, J)
+    v = joint_valid.astype(jnp.float32)
+    counts = jnp.maximum(v.sum(axis=1), 1.0)
+    means = (per_joint_tags * v).sum(axis=1) / counts  # (P,)
+    pull = jnp.sum(((per_joint_tags - means[:, None]) ** 2) * v) / jnp.maximum(v.sum(), 1.0)
+
+    person_valid = (v.sum(axis=1) > 0).astype(jnp.float32)
+    diff = means[:, None] - means[None, :]
+    pv = person_valid[:, None] * person_valid[None, :] * (1.0 - jnp.eye(P))
+    push = jnp.sum(jnp.exp(-(diff**2)) * pv) / jnp.maximum(pv.sum(), 1.0)
+    return pull_weight * pull + push_weight * push, {"pull": pull, "push": push}
+
+
+def render_gt_heatmaps(joint_pos: jax.Array, joint_valid: jax.Array, shape: tuple[int, int], sigma: float = 2.0) -> jax.Array:
+    """GT gaussian heatmaps (H, W, J) from (P, J, 2) pixel positions."""
+    H, W = shape
+    P, J, _ = joint_pos.shape
+    yy = jnp.arange(H)[:, None, None, None]
+    xx = jnp.arange(W)[None, :, None, None]
+    d2 = (xx - joint_pos[None, None, :, :, 0]) ** 2 + (yy - joint_pos[None, None, :, :, 1]) ** 2
+    g = jnp.exp(-d2 / (2 * sigma**2)) * joint_valid[None, None].astype(jnp.float32)
+    return jnp.max(g, axis=2)  # max over people -> (H, W, J)
+
+
+# ---------------------------------------------------------------------------
 # heatmap aggregation + associative-embedding grouping (core/group.py)
 # ---------------------------------------------------------------------------
 
