@@ -21,6 +21,11 @@ import numpy as np
 def main() -> None:
     import jax
 
+    # persistent compile cache: whole-model TPU compiles take minutes through
+    # this environment's remote compile helper
+    jax.config.update("jax_compilation_cache_dir", "/tmp/or4d_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from or4d_tpu.config import DatasetConfig
     from or4d_tpu.data.synthetic import make_scene_batch
     from or4d_tpu.models import SGPN

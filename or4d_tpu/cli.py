@@ -192,6 +192,10 @@ def run_phases(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", "/tmp/or4d_jax_cache_tpu")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args = build_parser().parse_args(argv)
     if args.mode == "roles":
         return run_roles(args)
