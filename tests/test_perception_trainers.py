@@ -1,0 +1,66 @@
+"""L1 trainer smoke tests: one step runs, loss finite, params update."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _changed(a, b):
+    return any(
+        not np.allclose(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+class TestHigherHRNetTrainer:
+    def test_one_step(self):
+        from or4d_tpu.train.perception_trainers import HigherHRNetTrainer
+
+        tr = HigherHRNetTrainer(num_joints=14, lr=1e-3)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        state = tr.init_state(jax.random.key(0), images)
+        gt_low = jnp.asarray(rng.random((1, 16, 16, 14)).astype(np.float32))
+        gt_high = jnp.asarray(rng.random((1, 32, 32, 14)).astype(np.float32))
+        pos = jnp.asarray(rng.integers(0, 16, (1, 3, 14, 2)))
+        valid = jnp.ones((1, 3, 14), bool)
+        params_before = jax.tree_util.tree_map(np.asarray, state["params"])
+        state, loss, _ = tr.train_step(state, images, gt_low, gt_high, pos, valid)
+        assert np.isfinite(float(loss))
+        assert _changed(params_before, state["params"])
+
+
+class TestVoxelPoseTrainer:
+    @pytest.mark.skip(reason="full 80^3 V2V init too heavy for CI; covered by model tests")
+    def test_one_step(self):
+        pass
+
+
+class TestGroupFreeTrainer:
+    def test_one_step(self):
+        from or4d_tpu.train.perception_trainers import GroupFreeTrainer
+
+        tr = GroupFreeTrainer(num_proposal=16, num_decoder_layers=1)
+        rng = np.random.default_rng(1)
+        pc = jnp.asarray(rng.standard_normal((1, 4096, 3)).astype(np.float32))
+        mean_sizes = jnp.asarray(np.abs(rng.standard_normal((4, 3))).astype(np.float32) + 0.5)
+        state = tr.init_state(jax.random.key(0), pc, mean_sizes)
+        K2 = 4
+        gt = {
+            "center": jnp.asarray(rng.standard_normal((1, K2, 3)).astype(np.float32)),
+            "size": jnp.ones((1, K2, 3)),
+            "size_class": jnp.asarray(rng.integers(0, 4, (1, K2))),
+            "size_residual": jnp.asarray(rng.standard_normal((1, K2, 3)).astype(np.float32)) * 0.1,
+            "heading_class": jnp.asarray(rng.integers(0, 12, (1, K2))),
+            "heading_residual": jnp.asarray(rng.uniform(-0.1, 0.1, (1, K2)).astype(np.float32)),
+            "sem_class": jnp.asarray(rng.integers(0, 4, (1, K2))),
+            "mask": jnp.ones((1, K2)),
+        }
+        seed_instance = jnp.asarray(rng.integers(-1, K2, (1, 1024)))
+        seed_xyz = jnp.zeros((1, 1024, 3))
+        params_before = jax.tree_util.tree_map(np.asarray, state["params"])
+        state, loss, parts = tr.train_step(state, pc, mean_sizes, seed_instance, gt, seed_xyz)
+        assert np.isfinite(float(loss))
+        assert _changed(params_before, state["params"])
+        assert "kps" in parts
