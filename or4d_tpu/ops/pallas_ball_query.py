@@ -29,8 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TM = 128  # queries per program (index kernels)
-_TM_G = 64  # queries per program for the fused grouping kernels (the
-# feature planes + grouped outputs share VMEM with the distance tile)
+_TM_G = 128  # queries per program for the fused grouping kernels; the
+# feature planes + grouped outputs share VMEM with the distance tile, so the
+# kernels declare an explicit 64MB VMEM budget (v5e has 128MB)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -308,6 +309,7 @@ def _bqg_forward(
         in_specs=[qspec, qspec, qspec, sspec, sspec, sspec, *fspecs],
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*qry, *sup, *fpad)
     if not isinstance(outs, (tuple, list)):
@@ -351,6 +353,7 @@ def _bqg_backward_impl(scales, xyz, new_xyz, gs, interpret, feat_shapes_dtypes):
         in_specs=[qspec, qspec, qspec, sspec, sspec, sspec, *gspecs],
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*qry, *sup, *gpad)
     if not isinstance(outs, (tuple, list)):
