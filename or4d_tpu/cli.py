@@ -34,7 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="or4d_tpu", description=__doc__)
     p.add_argument(
         "mode",
-        choices=["train", "evaluate", "infer", "roles", "graphormer-roles", "phases", "instance-labels"],
+        choices=[
+            "train", "evaluate", "infer", "roles", "graphormer-roles",
+            "phases", "instance-labels", "visualize",
+        ],
     )
     p.add_argument("--config", default="no_gt", help="builtin config name or JSON path")
     p.add_argument("--data-root", default="data")
@@ -171,6 +174,36 @@ def run_instance_labels(args) -> int:
     return 0
 
 
+def run_visualize(args) -> int:
+    """L5: render predicted scene graphs to HTML (the reference's pyvis
+    visualize_scene_graph_predictions.py) and, when instance-label npz +
+    pcd dirs are given, labeled clouds to PNG (visualize_instance_labels.py)."""
+    from or4d_tpu.utils.visualize import instance_labels_to_png, scene_graph_to_html
+
+    outdir = Path(args.output_dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    count = 0
+    if args.relations:
+        scan_relations = _load_scan_relations(args.relations)
+        nonempty = [(k, v) for k, v in sorted(scan_relations.items()) if v]
+        for scan_id, rels in nonempty[: args.limit or 20]:
+            scene_graph_to_html(rels, outdir / f"sg_{scan_id}.html", title=f"scene graph {scan_id}")
+            count += 1
+    if args.pcd_dir and args.boxes_dir:
+        from or4d_tpu.data.pcd_io import read_pcd
+
+        for pcd_path in sorted(Path(args.pcd_dir).glob("*.pcd"))[: args.limit or 5]:
+            lab_path = Path(args.boxes_dir) / f"{pcd_path.stem}.npz"
+            if not lab_path.exists():
+                continue
+            pts = read_pcd(pcd_path)
+            labels = np.load(lab_path)["arr_0"]
+            instance_labels_to_png(pts[:, :3], labels, outdir / f"labels_{pcd_path.stem}.png", title=pcd_path.stem)
+            count += 1
+    print(f"wrote {count} visualizations to {outdir}")
+    return 0
+
+
 def run_phases(args) -> int:
     """Surgery-phase recognition over predicted scene graphs + roles
     (surgery_phase_recognition/recognize_surgery_phase.py)."""
@@ -205,6 +238,8 @@ def main(argv: list[str] | None = None) -> int:
         return run_phases(args)
     if args.mode == "instance-labels":
         return run_instance_labels(args)
+    if args.mode == "visualize":
+        return run_visualize(args)
     cfg = load_config(args.config)
     # vocab from data files when shipped, embedded defaults otherwise
     from pathlib import Path as _P
