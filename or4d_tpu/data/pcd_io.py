@@ -148,6 +148,73 @@ def _read_pcd_numpy(path: str) -> np.ndarray:
     return out
 
 
+def read_ply(path: str | Path) -> np.ndarray:
+    """Read a PLY point cloud -> (N, 6) float32 [xyz, rgb in 0..1].
+
+    The reference loads registered object scans (`object_scans/*/*.ply`)
+    through open3d (helpers/object_pose_utils.py:9-26); this covers ascii and
+    binary_little_endian vertex elements with x/y/z (+ red/green/blue).
+    """
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise IOError(f"not a PLY file: {path}")
+        fmt = None
+        n = 0
+        props: list[tuple[str, str]] = []
+        in_vertex = False
+        while True:
+            line = f.readline().decode("ascii", errors="replace").strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, cnt = line.split()
+                in_vertex = name == "vertex"
+                if in_vertex:
+                    n = int(cnt)
+            elif line.startswith("property") and in_vertex:
+                _, typ, name = line.split()
+                props.append((name, typ))
+            elif line == "end_header":
+                break
+
+        type_map = {
+            "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "short": "i2", "ushort": "u2", "int": "i4", "int32": "i4", "uint": "u4",
+        }
+        dtype = np.dtype([(name, "<" + type_map[typ]) for name, typ in props])
+        if fmt == "ascii":
+            rows = np.loadtxt(f, max_rows=n, ndmin=2)
+            rec = np.core.records.fromarrays(rows.T, dtype=dtype)
+        elif fmt == "binary_little_endian":
+            rec = np.frombuffer(f.read(dtype.itemsize * n), dtype=dtype, count=n)
+        else:
+            raise IOError(f"unsupported PLY format {fmt}: {path}")
+
+    out = np.zeros((n, 6), np.float32)
+    for i, c in enumerate("xyz"):
+        out[:, i] = np.asarray(rec[c], np.float32)
+    names = [p[0] for p in props]
+    if all(c in names for c in ("red", "green", "blue")):
+        for i, c in enumerate(("red", "green", "blue")):
+            v = np.asarray(rec[c], np.float32)
+            out[:, 3 + i] = v / 255.0 if v.max(initial=0) > 1.0 else v
+    return out
+
+
+def load_registered_object_scan(ply_path: str | Path, transformation: np.ndarray) -> np.ndarray:
+    """get_object_poses for one scan (object_pose_utils.py:9-26): load the
+    .ply, scale the transform's translation by DEPTH_SCALING, apply it."""
+    from or4d_tpu.data.cameras import scale_registered_translation
+
+    pts = read_ply(ply_path)
+    t = scale_registered_translation(transformation)
+    xyz1 = np.concatenate([pts[:, :3], np.ones((len(pts), 1))], axis=1)
+    pts = pts.copy()
+    pts[:, :3] = (xyz1 @ t.T)[:, :3]
+    return pts
+
+
 def write_pcd(path: str | Path, points: np.ndarray, binary: bool = True) -> None:
     """Write (N, 6) [xyz rgb01] as PCD v0.7 with a packed-float rgb field."""
     points = np.asarray(points, np.float32)
