@@ -150,7 +150,11 @@ class ORDataset:
 
     def sample(self, index: int, points_per_obj: int = 3000) -> SceneSample:
         scan = self.scans[index]
-        scan_id = f"{scan['take_idx']}_{scan['scan']}"
+        # scan ids carry the split index suffix like the reference
+        # (get_relationships: f'{take}_{scan}_{split}'), which flows into the
+        # scan_relations json keys (predict_step uses batch['scan_id'])
+        split_idx = {"train": 0, "val": 1, "test": 2}[self.split]
+        scan_id = f"{scan['take_idx']}_{scan['scan']}_{split_idx}"
         cache_path = self.cache_dir / f"{scan_id}.npz"
         if cache_path.exists():
             data = np.load(cache_path, allow_pickle=True)
