@@ -47,14 +47,34 @@ def make_raw_scene(rng: np.random.Generator, n_objects: int = 6, points_per_obj:
     points = np.concatenate(pts).astype(np.float32)
     instances = np.concatenate(inst).astype(np.int32)
 
-    # random GT relations between distinct objects
+    # GT relations as deterministic functions of the geometry, so a trained
+    # model can actually generalize to unseen synthetic scenes:
+    #   CloseTo   <- center distance below threshold (symmetric-ish)
+    #   LyingOn   <- human roughly above a table (small horizontal offset)
+    #   Holding   <- human near the instrument
+    #   Preparing <- human near the anesthesia equipment
     rels = []
-    ids = list(objs)
-    n_rels = int(rng.integers(2, max(3, len(ids))))
-    for _ in range(n_rels):
-        a, b = rng.choice(ids, size=2, replace=False)
-        rel_name = vocab.relation_names[int(rng.integers(0, vocab.num_relations - 1))]  # exclude 'none'
+
+    def add(a, b, rel_name):
         rels.append([int(a), int(b), vocab.relation_index(rel_name), rel_name])
+
+    ids = list(objs)
+    is_human = {i: ("human" in objs[i] or objs[i] == "Patient") for i in ids}
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            ca, cb = centers[a], centers[b]
+            d = float(np.linalg.norm(ca - cb))
+            horiz = float(np.linalg.norm(ca[[0, 2]] - cb[[0, 2]]))
+            if is_human[a] and "table" in objs[b] and horiz < 0.9 and ca[1] > cb[1]:
+                add(a, b, "LyingOn")
+            elif is_human[a] and objs[b] == "instrument" and d < 1.4:
+                add(a, b, "Holding")
+            elif is_human[a] and objs[b] == "anesthesia_equipment" and d < 1.6:
+                add(a, b, "Preparing")
+            elif d < 1.2:
+                add(a, b, "CloseTo")
 
     hands = {}
     for inst_id, name in objs.items():
