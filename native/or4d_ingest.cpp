@@ -70,8 +70,20 @@ long or4d_voxel_downsample(const float* xyz, long n, float voxel_size,
                            int max_per_voxel, int64_t* out_idx) {
   if (n <= 0 || voxel_size <= 0) return 0;
   float mn[3] = {xyz[0], xyz[1], xyz[2]};
+  float mx[3] = {xyz[0], xyz[1], xyz[2]};
   for (long i = 1; i < n; i++)
-    for (int d = 0; d < 3; d++) mn[d] = std::min(mn[d], xyz[i * 3 + d]);
+    for (int d = 0; d < 3; d++) {
+      mn[d] = std::min(mn[d], xyz[i * 3 + d]);
+      mx[d] = std::max(mx[d], xyz[i * 3 + d]);
+    }
+  // collision-free mixed-radix voxel key (identical to the numpy twin in
+  // data/prep.py); grids this data produces are far below the 2^64 bound,
+  // checked anyway so a degenerate input fails loudly instead of colliding
+  uint64_t dims[3];
+  for (int d = 0; d < 3; d++)
+    dims[d] = (uint64_t)std::floor((mx[d] - mn[d]) / voxel_size) + 1;
+  long double total = (long double)dims[0] * dims[1] * dims[2];
+  if (total > 1.8e19L) return -1;
 
   std::unordered_map<uint64_t, int> counts;
   counts.reserve((size_t)n / 4 + 8);
@@ -81,8 +93,7 @@ long or4d_voxel_downsample(const float* xyz, long n, float voxel_size,
     uint64_t vx = (uint64_t)std::floor((xyz[i * 3 + 0] - mn[0]) / voxel_size);
     uint64_t vy = (uint64_t)std::floor((xyz[i * 3 + 1] - mn[1]) / voxel_size);
     uint64_t vz = (uint64_t)std::floor((xyz[i * 3 + 2] - mn[2]) / voxel_size);
-    uint64_t key = (vx * 0x9E3779B97F4A7C15ULL) ^ (vy * 0xC2B2AE3D27D4EB4FULL) ^
-                   (vz * 0x165667B19E3779F9ULL);
+    uint64_t key = (vx * dims[1] + vy) * dims[2] + vz;
     int& c = counts[key];
     if (c < max_per_voxel) {
       kept.push_back(i);
@@ -109,6 +120,7 @@ long or4d_downsample_sweep(const float* xyz, long n, long target,
   std::vector<int64_t> buf(n);
   for (int vs = 15; vs < 100; vs += 5) {
     long len = or4d_voxel_downsample(xyz, n, (float)vs, max_per_voxel, buf.data());
+    if (len < 0) return -1;
     if (len > target) {
       best.assign(buf.begin(), buf.begin() + len);
       best_len = len;

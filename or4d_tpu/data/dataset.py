@@ -21,11 +21,13 @@ dataset_utils.py:96-115).
 from __future__ import annotations
 
 import json
+import zlib
 from pathlib import Path
 
 import numpy as np
 
 from or4d_tpu.config import TAKE_SPLIT, DatasetConfig, ExperimentConfig
+from or4d_tpu.data import ingest
 from or4d_tpu.data.prep import prepare_scene
 from or4d_tpu.data.scene_batch import SceneBatch, SceneSample
 from or4d_tpu.data.vocab import Vocab
@@ -112,10 +114,25 @@ class ORDataset:
         self.cache_dir = Path(cache_dir) if cache_dir else Path(f"/tmp/or4d_cache/scene_graph_cache{suffix}")
         self.cache_dir.mkdir(parents=True, exist_ok=True)
 
-        scans = filter_scans(load_relationship_scans(self.data_root, split), vocab, split, self.ds.max_objects)
+        scans = load_relationship_scans(self.data_root, split)
+        if for_eval and not cfg.use_gt:
+            # dataset_loading(:52-61): object lists for no-GT inference come
+            # from the predicted instance labels, relationships are dropped
+            for scan in scans:
+                pred_path = ingest.instance_labels_path(self.data_root, scan["take_idx"], scan["scan"], pred=True)
+                if pred_path.exists():
+                    scan["objects"] = {
+                        str(k): v
+                        for k, v in ingest.synthesize_objects_from_pred_labels(
+                            self.data_root, scan["take_idx"], scan["scan"]
+                        ).items()
+                    }
+                    scan["relationships"] = []
+        scans = filter_scans(scans, vocab, split, self.ds.max_objects)
         if not scans and synthetic_fallback:
             scans = self._synthetic_scan_list(synthetic_scans_per_take)
         self.scans = scans
+        self._human_joints_cache: dict = {}
         if not self.scans:
             raise RuntimeError(f"no scans for split {split} under {self.data_root}")
 
@@ -148,6 +165,15 @@ class ORDataset:
         """Train-split loss weights (get_weights path)."""
         return compute_weights(self.vocab, self.scans)
 
+    def _human_joints(self, take_idx) -> dict | None:
+        """Per-take wrist-joint source, cached (or_dataset.py:83-91; the
+        reference always reads the GT_True artifact and skips the test split)."""
+        if self.split == "test":
+            return None
+        if take_idx not in self._human_joints_cache:
+            self._human_joints_cache[take_idx] = ingest.load_human_joints(self.data_root, take_idx, from_gt=True)
+        return self._human_joints_cache[take_idx]
+
     def sample(self, index: int, points_per_obj: int = 3000) -> SceneSample:
         scan = self.scans[index]
         # scan ids carry the split index suffix like the reference
@@ -167,8 +193,18 @@ class ORDataset:
                 take_idx=meta["take_idx"],
                 slot_names=tuple(meta["slot_names"]),
             )
-        rng = np.random.default_rng(abs(hash(scan_id)) % (2**32))
-        points, instances, objs, hands = synthesize_scan_geometry(scan, rng, points_per_obj)
+        # stable across processes (hash() is PYTHONHASHSEED-salted) so cached
+        # samples are reproducible
+        rng = np.random.default_rng(zlib.crc32(scan_id.encode()))
+        if ingest.has_raw_scan(self.data_root, scan["take_idx"], scan["scan"], self.cfg.use_gt):
+            objs = {int(k): v for k, v in scan["objects"].items()}
+            points, instances, hands = ingest.load_scan_geometry(
+                self.data_root, scan["take_idx"], scan["scan"], objs,
+                use_gt=self.cfg.use_gt, for_infer=self.for_eval,
+                human_joints=self._human_joints(scan["take_idx"]), rng=rng,
+            )
+        else:
+            points, instances, objs, hands = synthesize_scan_geometry(scan, rng, points_per_obj)
         rels = [list(r) for r in scan.get("relationships", [])]
         sample = prepare_scene(
             points, instances, objs, rels, self.vocab, self.ds, rng,

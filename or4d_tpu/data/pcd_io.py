@@ -46,6 +46,11 @@ def _load_native(build: bool = True):
     ]
     lib.or4d_lzf_decompress.restype = ctypes.c_long
     lib.or4d_lzf_decompress.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long]
+    lib.or4d_crop_union.restype = ctypes.c_long
+    lib.or4d_crop_union.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return lib
 
@@ -87,19 +92,43 @@ def voxel_downsample_indices_native(xyz: np.ndarray, voxel_size: float, max_per_
     return voxel_downsample_indices(xyz, voxel_size)
 
 
-def downsample_sweep_native(xyz: np.ndarray, target: int, max_per_voxel: int = 8) -> np.ndarray:
+def downsample_sweep_native(xyz: np.ndarray, target: int, max_per_voxel: int = 8) -> np.ndarray | None:
     """The reference's voxel sweep in native code (before the random final
-    subset); returns candidate indices (> target count, or all)."""
+    subset); returns candidate indices (> target count, or all), or None when
+    the native library is unavailable / the grid degenerates."""
     lib = _load_native()
+    if lib is None:
+        return None
     xyz = np.ascontiguousarray(xyz[:, :3], np.float32)
-    if lib is not None:
-        out = np.empty(len(xyz), np.int64)
-        k = lib.or4d_downsample_sweep(
-            xyz.ctypes.data_as(ctypes.c_void_p), len(xyz), target, max_per_voxel,
-            out.ctypes.data_as(ctypes.c_void_p),
-        )
-        return out[:k]
-    raise RuntimeError("native ingest library unavailable")
+    out = np.empty(len(xyz), np.int64)
+    k = lib.or4d_downsample_sweep(
+        xyz.ctypes.data_as(ctypes.c_void_p), len(xyz), target, max_per_voxel,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:k] if k >= 0 else None
+
+
+def crop_union_native(
+    xyz: np.ndarray, labels: np.ndarray, mn: np.ndarray, mx: np.ndarray, sub: int, obj: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fused edge-crop: indices of points strictly inside [mn, mx] plus their
+    subject(1)/object(2)/other(0) mask channel, in one native pass. None when
+    the library is unavailable."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz[:, :3], np.float32)
+    labels = np.ascontiguousarray(labels, np.int32)
+    mn = np.ascontiguousarray(mn, np.float32)
+    mx = np.ascontiguousarray(mx, np.float32)
+    idx = np.empty(len(xyz), np.int64)
+    mask = np.empty(len(xyz), np.float32)
+    k = lib.or4d_crop_union(
+        xyz.ctypes.data_as(ctypes.c_void_p), labels.ctypes.data_as(ctypes.c_void_p), len(xyz),
+        mn.ctypes.data_as(ctypes.c_void_p), mx.ctypes.data_as(ctypes.c_void_p),
+        int(sub), int(obj), idx.ctypes.data_as(ctypes.c_void_p), mask.ctypes.data_as(ctypes.c_void_p),
+    )
+    return idx[:k], mask[:k]
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 
 from or4d_tpu.config import DatasetConfig
+from or4d_tpu.data.pcd_io import crop_union_native
 from or4d_tpu.data.scene_batch import SceneSample
 from or4d_tpu.data.vocab import Vocab, objname_to_type_index
 
@@ -68,13 +69,17 @@ def calculate_downsample_indices(points: np.ndarray, target_n: int, rng: np.rand
     n = len(points)
     if n < target_n:
         return rng.choice(n, target_n, replace=True)
-    best = np.arange(n)
-    for size in _VOXEL_SWEEP:
-        choice = voxel_downsample_indices(points[:, :3], float(size))
-        if len(choice) > target_n:
-            best = choice
-        else:
-            break
+    from or4d_tpu.data.pcd_io import downsample_sweep_native
+
+    best = downsample_sweep_native(points[:, :3], target_n, _MAX_PER_VOXEL)
+    if best is None:  # numpy twin of the native sweep (identical selection)
+        best = np.arange(n)
+        for size in _VOXEL_SWEEP:
+            choice = voxel_downsample_indices(points[:, :3], float(size))
+            if len(choice) > target_n:
+                best = choice
+            else:
+                break
     return best[rng.choice(len(best), target_n, replace=False)]
 
 
@@ -156,9 +161,14 @@ def prepare_scene(
 
             mn = np.minimum(bboxes[a][0], bboxes[b][0])
             mx = np.maximum(bboxes[a][1], bboxes[b][1])
-            inside = np.all((points[:, :3] > mn) & (points[:, :3] < mx), axis=1)
-            mask_channel = point_masks[a].astype(np.float32) * 1.0 + point_masks[b].astype(np.float32) * 2.0
-            pts7 = np.concatenate([points, mask_channel[:, None]], axis=1)[inside]
+            native = crop_union_native(points[:, :3], instances, mn, mx, slot_ids[a], slot_ids[b])
+            if native is not None:
+                idx, mask_vals = native
+                pts7 = np.concatenate([points[idx], mask_vals[:, None]], axis=1)
+            else:
+                inside = np.all((points[:, :3] > mn) & (points[:, :3] < mx), axis=1)
+                mask_channel = point_masks[a].astype(np.float32) * 1.0 + point_masks[b].astype(np.float32) * 2.0
+                pts7 = np.concatenate([points, mask_channel[:, None]], axis=1)[inside]
             choice = calculate_downsample_indices(pts7, Pr, rng)
             crop = pts7[choice].astype(np.float32)
             crop[:, :3], info = zero_mean(crop[:, :3])

@@ -1,0 +1,195 @@
+"""Generate the tiny real-format dataset fixture under tests/golden/real_data.
+
+The tree mirrors the 4D-OR release layout (helpers/configurations.py:48-61):
+    relationships_train.json / relationships_validation.json
+    export_holistic_take{T}_processed/pcds/{S}.pcd
+    instance_labels/{T}_{S}.npz          (GT per-point labels, int8)
+    instance_labels_pred/{T}_{S}.npz     (predicted labels, human ids permuted)
+    human_name_to_3D_joints/{T}_GT_True.npz
+
+Scenes are synthetic but in real-format files at OR-scale coordinates, so
+the full ingest path (pcd parse -> label load -> human matching -> virtual
+objects -> prep) runs exactly as it would on the released dataset.
+
+Deterministic; run `python tests/golden/make_real_fixture.py` to regenerate.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from or4d_tpu.config import LIMBS, OBJECT_LABEL_MAP
+from or4d_tpu.data.pcd_io import write_pcd
+
+ROOT = Path(__file__).resolve().parent / "real_data"
+
+# object blob centers at OR-scale coordinates (the export space where the
+# virtual instrument box sits at [-200, 1056, -66])
+OBJ_CENTERS = {
+    "anesthesia_equipment": [-900.0, 700.0, 900.0],
+    "operating_table": [0.0, 500.0, 0.0],
+    "instrument_table": [800.0, 650.0, -500.0],
+    "secondary_table": [900.0, 650.0, 800.0],
+}
+
+
+def make_skeleton(rng: np.random.Generator, center: np.ndarray, lying: bool = False) -> np.ndarray:
+    """A plausible 14-joint skeleton (IDX_TO_BODY_PART order) around center."""
+    # canonical standing pose, y-up, ~380-unit tall torso
+    pose = np.array([
+        [0, 380, 0],      # head
+        [0, 300, 0],      # neck
+        [-80, 280, 0],    # leftshoulder
+        [80, 280, 0],     # rightshoulder
+        [-60, 60, 0],     # lefthip
+        [60, 60, 0],      # righthip
+        [-110, 180, 30],  # leftelbow
+        [110, 180, 30],   # rightelbow
+        [-130, 90, 60],   # leftwrist
+        [130, 90, 60],    # rightwrist
+        [-60, -120, 10],  # leftknee
+        [60, -120, 10],   # rightknee
+        [-60, -300, 0],   # leftfoot
+        [60, -300, 0],    # rightfoot
+    ], dtype=np.float64)
+    if lying:
+        pose = pose[:, [1, 2, 0]]  # body axis along x instead of y
+    return pose + center + rng.normal(scale=5.0, size=(14, 3))
+
+
+def skeleton_points(rng: np.random.Generator, joints: np.ndarray, per_limb: int = 40) -> np.ndarray:
+    pts = []
+    for a, b in LIMBS:
+        t = rng.uniform(0, 1, size=(per_limb, 1))
+        seg = joints[a] * (1 - t) + joints[b] * t
+        pts.append(seg + rng.normal(scale=25.0, size=(per_limb, 3)))
+    return np.concatenate(pts)
+
+
+def blob(rng: np.random.Generator, center, n: int, scale=150.0) -> np.ndarray:
+    return np.asarray(center) + rng.normal(scale=scale, size=(n, 3))
+
+
+def build_scan(take_idx: int, pcd_idx: str, objects: dict[str, str], rels, humans: dict,
+               missing: set[str], seed: int):
+    """Write one scan's pcd + GT/pred labels; returns human joints dict."""
+    rng = np.random.default_rng(seed)
+    pts, gt, colors = [], [], []
+
+    # background floor/walls
+    nbg = 800
+    bg = np.stack([rng.uniform(-1500, 1500, nbg), rng.uniform(0, 60, nbg), rng.uniform(-1200, 1500, nbg)], axis=1)
+    pts.append(bg)
+    gt.append(np.full(nbg, -1))
+    colors.append(rng.uniform(0.3, 0.6, size=(nbg, 3)))
+
+    joints_by_name = {}
+    human_centers = {"Patient": np.array([0.0, 620.0, 0.0])}
+    free = [np.array([-420.0, 350.0, 300.0]), np.array([350.0, 350.0, -350.0]), np.array([-300.0, 350.0, -600.0])]
+    for name in objects.values():
+        if name in missing or name == "instrument":
+            continue
+        if name in OBJ_CENTERS:
+            n = 320
+            pts.append(blob(rng, OBJ_CENTERS[name], n))
+            gt.append(np.full(n, OBJECT_LABEL_MAP[name]))
+            colors.append(np.broadcast_to(rng.uniform(0.2, 0.9, 3), (n, 3)).copy())
+        else:  # a human
+            center = human_centers.get(name)
+            if center is None:
+                center = free.pop(0)
+            j = make_skeleton(rng, center, lying=(name == "Patient"))
+            joints_by_name[name] = j
+            sk = skeleton_points(rng, j)
+            pts.append(sk)
+            gt.append(np.full(len(sk), OBJECT_LABEL_MAP[name]))
+            colors.append(np.broadcast_to(rng.uniform(0.4, 1.0, 3), (len(sk), 3)).copy())
+
+    xyz = np.concatenate(pts).astype(np.float32)
+    gt = np.concatenate(gt).astype(np.int8)
+    rgb = np.clip(np.concatenate(colors), 0, 1).astype(np.float32)
+
+    # predicted labels: same blobs but with human identities cyclically
+    # permuted and ~2% of points flipped to background — exercises
+    # match_human_labels_to_gt end to end
+    pred = gt.copy()
+    human_ids = sorted({OBJECT_LABEL_MAP[n] for n in joints_by_name})
+    if len(human_ids) > 1:
+        perm = {a: b for a, b in zip(human_ids, human_ids[1:] + human_ids[:1])}
+        pred = gt.copy()
+        for a, b in perm.items():
+            pred[gt == a] = b
+    drop = rng.uniform(0, 1, len(pred)) < 0.02
+    pred[drop] = -1
+
+    order = rng.permutation(len(xyz))
+    xyz, gt, pred, rgb = xyz[order], gt[order], pred[order], rgb[order]
+
+    pcd_dir = ROOT / f"export_holistic_take{take_idx}_processed" / "pcds"
+    pcd_dir.mkdir(parents=True, exist_ok=True)
+    write_pcd(pcd_dir / f"{pcd_idx}.pcd", np.concatenate([xyz, rgb], axis=1), binary=(int(pcd_idx) % 2 == 0))
+    (ROOT / "instance_labels").mkdir(exist_ok=True)
+    (ROOT / "instance_labels_pred").mkdir(exist_ok=True)
+    np.savez_compressed(ROOT / "instance_labels" / f"{take_idx}_{pcd_idx}.npz", gt)
+    np.savez_compressed(ROOT / "instance_labels_pred" / f"{take_idx}_{pcd_idx}.npz", pred)
+    return joints_by_name
+
+
+def main():
+    ROOT.mkdir(exist_ok=True)
+    scans_by_split = {"train": [], "validation": []}
+    joints_by_take: dict[int, dict] = {}
+
+    def add(split, take_idx, pcd_idx, names, rels, humans, missing=()):
+        objects = {str(i + 1): n for i, n in enumerate(sorted(names))}
+        inv = {n: int(k) for k, n in objects.items()}
+        rel_list = [[inv[s], inv[o], i, r] for i, (s, o, r) in enumerate(rels)]
+        scans_by_split[split].append({
+            "take_idx": take_idx,
+            "scan": pcd_idx,
+            "objects": objects,
+            "relationships": rel_list,
+            "human_idx_to_name": humans,
+        })
+        j = build_scan(take_idx, pcd_idx, objects, rel_list, humans, set(missing),
+                       seed=take_idx * 7919 + int(pcd_idx))
+        joints_by_take.setdefault(take_idx, {})[pcd_idx] = j
+
+    # take 1 (train): two scans; 000001 exercises the emulated-cone path via
+    # a secondary_table with no labeled points
+    add("train", 1, "000000",
+        ["Patient", "human_0", "operating_table", "anesthesia_equipment", "instrument", "instrument_table"],
+        [("Patient", "operating_table", "LyingOn"), ("human_0", "Patient", "Assisting"),
+         ("human_0", "instrument", "Holding")],
+        {"human_0": "head-surgeon"})
+    add("train", 1, "000001",
+        ["Patient", "human_0", "human_1", "operating_table", "instrument", "secondary_table"],
+        [("Patient", "operating_table", "LyingOn"), ("human_0", "Patient", "Drilling"),
+         ("human_1", "secondary_table", "CloseTo")],
+        {"human_0": "head-surgeon", "human_1": "circulating-nurse"},
+        missing=["secondary_table"])
+    # take 4 (val): one scan
+    add("validation", 4, "000000",
+        ["Patient", "human_0", "human_1", "operating_table", "instrument", "anesthesia_equipment"],
+        [("Patient", "operating_table", "LyingOn"), ("human_1", "anesthesia_equipment", "CloseTo"),
+         ("human_0", "Patient", "Touching")],
+        {"human_0": "assistant-surgeon", "human_1": "anaesthetist"})
+
+    for split, scans in scans_by_split.items():
+        with open(ROOT / f"relationships_{split}.json", "w") as f:
+            json.dump({"scans": scans}, f, indent=1)
+
+    (ROOT / "human_name_to_3D_joints").mkdir(exist_ok=True)
+    for take_idx, by_scan in joints_by_take.items():
+        np.savez_compressed(ROOT / "human_name_to_3D_joints" / f"{take_idx}_GT_True.npz", by_scan)
+    print(f"fixture written under {ROOT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -87,15 +87,44 @@ class TestVoxelDownsample:
         assert 0 < len(idx) <= 2000
         assert (np.diff(idx) > 0).all()  # sorted unique
 
-    def test_matches_numpy_respec_distribution(self, native):
-        pts = _cloud(3000, 4)
-        got = pcd_io.voxel_downsample_indices_native(pts, 40.0)
-        want = voxel_downsample_indices(pts[:, :3], 40.0)
-        # same per-voxel cap policy -> similar survivor counts (hash layouts
-        # differ in tie cases at voxel borders)
-        assert abs(len(got) - len(want)) < 0.05 * len(want) + 5
+    def test_matches_numpy_exactly(self, native):
+        # the native key is the same collision-free mixed-radix voxel key as
+        # the numpy twin, so selections are identical
+        for seed, vs in [(4, 40.0), (11, 15.0), (12, 95.0)]:
+            pts = _cloud(3000, seed)
+            got = pcd_io.voxel_downsample_indices_native(pts, vs)
+            want = voxel_downsample_indices(pts[:, :3], vs)
+            np.testing.assert_array_equal(got, want)
 
     def test_sweep(self, native):
         pts = _cloud(5000, 5)
         idx = pcd_io.downsample_sweep_native(pts, 300)
         assert len(idx) >= 300 or len(idx) == 5000
+
+    def test_sweep_matches_numpy_prep(self, native):
+        from or4d_tpu.data.prep import _MAX_PER_VOXEL, _VOXEL_SWEEP
+
+        pts = _cloud(5000, 6)
+        got = pcd_io.downsample_sweep_native(pts, 300)
+        want = np.arange(len(pts))
+        for size in _VOXEL_SWEEP:
+            choice = voxel_downsample_indices(pts[:, :3], float(size))
+            if len(choice) > 300:
+                want = choice
+            else:
+                break
+        np.testing.assert_array_equal(got, want)
+
+
+class TestCropUnion:
+    def test_matches_numpy(self, native):
+        rng = np.random.default_rng(9)
+        pts = rng.uniform(-100, 100, (4000, 3)).astype(np.float32)
+        labels = rng.integers(0, 5, 4000).astype(np.int32)
+        mn = np.array([-40.0, -40.0, -40.0], np.float32)
+        mx = np.array([55.0, 60.0, 30.0], np.float32)
+        idx, mask = pcd_io.crop_union_native(pts, labels, mn, mx, sub=2, obj=4)
+        inside = np.all((pts > mn) & (pts < mx), axis=1)
+        want_mask = (labels == 2).astype(np.float32) * 1.0 + (labels == 4).astype(np.float32) * 2.0
+        np.testing.assert_array_equal(idx, np.flatnonzero(inside))
+        np.testing.assert_array_equal(mask, want_mask[inside])
