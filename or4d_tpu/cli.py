@@ -109,14 +109,23 @@ def run_roles(args) -> int:
 def run_graphormer_roles(args) -> int:
     """Graphormer role prediction: train on tracks (real pickle or synthetic
     fixtures), score every track with temperature-4 softmax, assign roles
-    per frame, write graphormer_based_role_predictions.json
-    (role_prediction_helpers.output_role_predictions)."""
+    greedily per frame, and write graphormer_based_role_predictions.json in
+    the {"{take}_{scan}": {human_name: role}} interchange format
+    (role_prediction_helpers.output_role_predictions :211-251) — the same
+    contract the heuristic writer and the phases stage use. When GT scans are
+    available a reference-style classification report is printed
+    (eval_role_prediction_perf :142-208)."""
     import pickle
 
     import jax
 
-    from or4d_tpu.pipeline.role_dataset import build_tracks, make_synthetic_role_dataset
-    from or4d_tpu.pipeline.roles_heuristic import assign_roles_in_frame, write_role_json
+    from or4d_tpu.data.dataset import load_relationship_scans
+    from or4d_tpu.pipeline.role_dataset import build_tracks, make_synthetic_role_take
+    from or4d_tpu.pipeline.roles_heuristic import (
+        eval_role_prediction_perf,
+        predict_roles_for_take,
+        write_role_json,
+    )
     from or4d_tpu.train.graphormer_trainer import GraphormerTrainer
 
     trainer = GraphormerTrainer()
@@ -128,17 +137,31 @@ def run_graphormer_roles(args) -> int:
         frame_to_relations = {k.split("_", 1)[1]: v for k, v in scan_relations.items()}
         tracks = build_tracks(take_idx, raw_tracks, frame_to_relations, {})
         data = [(t.to_batch(frame_to_relations, max_graphs=8), t.role_label) for t in tracks]
+        assign_tracks = raw_tracks
     else:
         print("no --tracks/--relations given: training on synthetic role-behavior tracks")
-        data = make_synthetic_role_dataset(tracks_per_role=4, n_frames=4, max_graphs=4)
+        take_idx = 1
+        tracks, frame_to_relations, data = make_synthetic_role_take(take_idx)
+        assign_tracks = [{"timestamp_to_human_pose": t.timestamp_to_human_pose} for t in tracks]
     state = trainer.init_state(jax.random.key(args.seed), data[0][0])
     state, losses = trainer.fit(state, data, epochs=args.epochs or 3)
     print(f"trained on {len(data)} tracks: loss {losses[0]:.3f} -> {losses[-1]:.3f}")
 
-    scores = {i: trainer.score_track(state, b) for i, (b, _l) in enumerate(data)}
+    # scores keyed by RAW track index (unscored tracks fall back to the
+    # reference's default guess inside the assignment)
+    scores = {t.track_idx: trainer.score_track(state, b) for t, (b, _l) in zip(tracks, data)}
+    predictions = predict_roles_for_take(take_idx, assign_tracks, frame_to_relations, scores)
     out = args.output or "graphormer_based_role_predictions.json"
-    Path(out).write_text(json.dumps({str(k): v for k, v in scores.items()}))
-    print(f"wrote {out} ({len(scores)} track score dicts)")
+    write_role_json(out, predictions)
+    print(f"wrote {out} ({len(predictions)} frames)")
+
+    for split in ("train", "val", "test"):
+        gt_scans = [s for s in load_relationship_scans(args.data_root, split) if s["take_idx"] == take_idx]
+        if gt_scans:
+            _, overall = eval_role_prediction_perf({take_idx: gt_scans}, predictions)
+            if overall is not None:
+                print(f"role eval vs GT ({split}): macro F1 {overall.macro_f1:.3f}")
+            break
     return 0
 
 
@@ -261,6 +284,7 @@ def main(argv: list[str] | None = None) -> int:
     def init_or_restore():
         sample = next(train_ds.batches(batch_size))
         state = trainer.init_state(jax.random.key(args.seed), sample)
+        restored = False
         if args.checkpoint_dir:
             from or4d_tpu.train import checkpoint as ckpt
 
@@ -268,6 +292,11 @@ def main(argv: list[str] | None = None) -> int:
             if step is not None:
                 print(f"restoring checkpoint step {step} from {args.checkpoint_dir}")
                 state = ckpt.restore(args.checkpoint_dir, state)
+                restored = True
+        if not restored and args.mode in ("evaluate", "infer"):
+            where = args.checkpoint_dir or "(no --checkpoint-dir given)"
+            print(f"WARNING: no checkpoint found under {where}; "
+                  f"{args.mode} will run from RANDOM INITIALIZATION")
         return state
 
     if args.mode == "train":

@@ -175,3 +175,31 @@ def make_synthetic_role_dataset(tracks_per_role: int = 2, n_frames: int = 4, max
             track, frame_rels = make_synthetic_track(role, n_frames=n_frames, seed=ri * 10 + k)
             out.append((track.to_batch(frame_rels, max_graphs=max_graphs), track.role_label))
     return out
+
+
+def make_synthetic_role_take(take_idx: int = 1, n_frames: int = 4, max_graphs: int = 4):
+    """One synthetic take: 5 co-occurring tracks (one per role, distinct
+    human names) sharing the same frames, with a merged per-frame relation
+    list — enough structure to run the full score -> per-frame-assignment ->
+    role-json path without the dataset release.
+
+    Returns (tracks, frame_to_relations, data) where ``tracks`` are RoleTracks
+    whose track_idx matches their position and ``data`` is [(batch, label)].
+    """
+    rng = np.random.default_rng(take_idx)
+    tracks: list[RoleTrack] = []
+    frame_to_relations: dict[str, list] = {f"{i:06d}": [] for i in range(n_frames)}
+    for ri, role in enumerate(_ROLE_BEHAVIORS):
+        human = f"human_{ri}"
+        poses = {}
+        for i in range(n_frames):
+            frame = f"{i:06d}"
+            poses[frame] = (human, rng.normal(size=(14, 3)))
+            frame_to_relations[frame].extend(
+                (human if s == "TARGET" else s, r, human if o == "TARGET" else o)
+                for s, r, o in _ROLE_BEHAVIORS[role]
+            )
+        tracks.append(RoleTrack(take_idx=take_idx, track_idx=ri,
+                                timestamp_to_human_pose=poses, role_label=ri))
+    data = [(t.to_batch(frame_to_relations, max_graphs=max_graphs), t.role_label) for t in tracks]
+    return tracks, frame_to_relations, data

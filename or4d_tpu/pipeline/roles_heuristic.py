@@ -29,6 +29,16 @@ import numpy as np
 
 ROLE_LABEL_NAMES = ["Patient", "head_surgeon", "assistant_surgeon", "circulating_nurse", "anaesthetist"]
 
+# fixed fallback scores for tracks without a model score
+# (role_prediction_helpers.py:236-238)
+DEFAULT_GUESS = {
+    "Patient": 0.0003,
+    "head_surgeon": 0.0001,
+    "assistant_surgeon": 0.0002,
+    "circulating_nurse": 0.0005,
+    "anaesthetist": 0.0004,
+}
+
 _SURGICAL_ACTIONS_ON_PATIENT = ["Cementing", "Cutting", "Drilling", "Hammering", "Sawing", "Suturing", "Cleaning", "Preparing"]
 _SURGICAL_ACTIONS_BY_SURGEON = ["Cementing", "Cutting", "Drilling", "Hammering", "Sawing", "Suturing"]
 
@@ -159,7 +169,9 @@ def assign_roles_in_frame(frame_str: str, tracks: list[dict], track_scores: dict
     candidates = {}
     for track_idx, track in enumerate(tracks):
         if frame_str in track["timestamp_to_human_pose"]:
-            candidates[track_idx] = deepcopy(track_scores[track_idx])
+            # unscored tracks get the reference's fixed default guess
+            # (role_prediction_helpers.py:236-238)
+            candidates[track_idx] = deepcopy(track_scores.get(track_idx, DEFAULT_GUESS))
     humans_to_roles: dict[str, str] = {}
     humans_to_joints: dict[str, np.ndarray] = {}
     while candidates:
@@ -213,6 +225,58 @@ def predict_roles_for_take(
         roles, _ = assign_roles_in_frame(frame_str, tracks, track_scores)
         out[f"{take_idx}_{frame_str}"] = roles
     return out
+
+
+def role_name_to_index(name: str) -> int:
+    """role_prediction_helpers.name_to_index (:130-140); 'none' -> 5."""
+    if name == "none":
+        return 5
+    return ROLE_LABEL_NAMES.index(name.replace("-", "_"))
+
+
+def eval_role_prediction_perf(
+    gt_scans_by_take: dict[int, list[dict]],
+    frame_predictions: dict[str, dict[str, str]],
+    frame_pred_joints: dict[str, dict] | None = None,
+    gt_joints_by_take: dict[int, dict] | None = None,
+    use_gt: bool = True,
+):
+    """Reference eval_role_prediction_perf (role_prediction_helpers.py:142-208):
+    walk each take's GT scans in scan order, look up the per-frame role
+    assignment (GT-matching predicted humans by joint L2 when not use_gt),
+    and report per-take + overall classification over the 5 roles
+    ('none' = unpredicted).
+
+    ``frame_predictions``: {"{take}_{frame}": {human_name: role}} — the
+    interchange written by both role predictors.
+    Returns (take_to_results, overall ClassReport).
+    """
+    from or4d_tpu.train.metrics import classification_report
+
+    take_to_results = {}
+    all_gt, all_pred = [], []
+    for take_idx in sorted(gt_scans_by_take):
+        gt_labels, pred_labels = [], []
+        for gt_sg in sorted(gt_scans_by_take[take_idx], key=lambda s: s["scan"]):
+            key = f"{take_idx}_{gt_sg['scan']}"
+            humans_to_roles = dict(frame_predictions.get(key, {}))
+            human_idx_to_name = dict(gt_sg.get("human_idx_to_name", {}))
+            if "Patient" in gt_sg["objects"].values():
+                human_idx_to_name["Patient"] = "Patient"
+            if not use_gt and frame_pred_joints and gt_joints_by_take:
+                gt_joints = gt_joints_by_take.get(take_idx, {}).get(gt_sg["scan"], {})
+                pred_joints = frame_pred_joints.get(key, {})
+                if gt_joints and pred_joints:
+                    humans_to_roles = match_human_preds_to_gt(gt_joints, humans_to_roles, pred_joints)
+            for human_idx, role in human_idx_to_name.items():
+                gt_labels.append(role_name_to_index(role))
+                pred_labels.append(role_name_to_index(humans_to_roles.get(human_idx, "none")))
+        if gt_labels:
+            take_to_results[take_idx] = classification_report(gt_labels, pred_labels, ROLE_LABEL_NAMES)
+        all_gt.extend(gt_labels)
+        all_pred.extend(pred_labels)
+    overall = classification_report(all_gt, all_pred, ROLE_LABEL_NAMES) if all_gt else None
+    return take_to_results, overall
 
 
 def write_role_json(path: str | Path, predictions: dict) -> None:

@@ -167,13 +167,3 @@ class GraphormerTrainer:
         return state, losses
 
 
-def assign_roles_with_scores(tracks_meta: list[dict], track_scores: dict[int, dict[str, float]], frame_strs: list[str]):
-    """Frame-wise greedy unique assignment reusing the heuristic machinery
-    (the Graphormer path shares infer_roles_in_sg, helpers :142-208)."""
-    from or4d_tpu.pipeline.roles_heuristic import assign_roles_in_frame
-
-    out = {}
-    for frame in frame_strs:
-        roles, joints = assign_roles_in_frame(frame, tracks_meta, track_scores)
-        out[frame] = (roles, joints)
-    return out

@@ -112,3 +112,79 @@ class TestGraphormerModel:
         g = jax.grad(loss)(variables["params"])
         total = sum(float(np.abs(np.asarray(x)).sum()) for x in jax.tree_util.tree_leaves(g))
         assert total > 0
+
+
+class TestRoleInterchangeFormat:
+    """The Graphormer role writer must emit the same
+    {"{take}_{scan}": {human_name: role}} contract as the heuristic writer
+    (reference output_role_predictions :211-251), so the phases stage can
+    consume either."""
+
+    @pytest.fixture(scope="class")
+    def predictions(self):
+        from or4d_tpu.pipeline.role_dataset import make_synthetic_role_take
+        from or4d_tpu.pipeline.roles_heuristic import predict_roles_for_take
+        from or4d_tpu.train.graphormer_trainer import GraphormerTrainer
+
+        take_idx = 1
+        tracks, frame_to_relations, data = make_synthetic_role_take(take_idx, n_frames=3, max_graphs=3)
+        trainer = GraphormerTrainer(n_layers=2, hidden=16, ffn=16, heads=4)
+        state = trainer.init_state(jax.random.key(0), data[0][0])
+        state, _ = trainer.fit(state, data, epochs=1)
+        scores = {t.track_idx: trainer.score_track(state, b) for t, (b, _l) in zip(tracks, data)}
+        assign_tracks = [{"timestamp_to_human_pose": t.timestamp_to_human_pose} for t in tracks]
+        return predict_roles_for_take(take_idx, assign_tracks, frame_to_relations, scores), frame_to_relations
+
+    def test_format_matches_heuristic_writer(self, predictions):
+        from or4d_tpu.pipeline.roles_heuristic import ROLE_LABEL_NAMES
+
+        preds, frame_to_relations = predictions
+        assert set(preds) == {f"1_{f}" for f in frame_to_relations}
+        for frame_key, humans in preds.items():
+            assert isinstance(humans, dict)
+            for human, role in humans.items():
+                assert human.startswith("human_")
+                assert role in ROLE_LABEL_NAMES
+        # greedy unique assignment: no role repeats within a frame
+        for humans in preds.values():
+            roles = list(humans.values())
+            assert len(roles) == len(set(roles))
+
+    def test_phases_consumes_graphormer_roles(self, predictions, tmp_path):
+        import json as _json
+
+        from or4d_tpu.pipeline.phases import recognize_phases
+
+        preds, frame_to_relations = predictions
+        # round-trip through json like the CLI does
+        p = tmp_path / "graphormer_based_role_predictions.json"
+        p.write_text(_json.dumps(preds))
+        roles = _json.loads(p.read_text())
+        scan_relations = {f"1_{f}": rels for f, rels in frame_to_relations.items()}
+        phases = recognize_phases(scan_relations, roles)
+        assert isinstance(phases, dict)
+
+    def test_eval_role_prediction_perf(self, predictions):
+        from or4d_tpu.pipeline.roles_heuristic import eval_role_prediction_perf
+
+        preds, frame_to_relations = predictions
+        # synthesize GT scans agreeing with an oracle assignment
+        gt_scans = []
+        for f in frame_to_relations:
+            gt_scans.append({
+                "scan": f,
+                "objects": {"1": "human_0"},
+                "human_idx_to_name": {f"human_{i}": r for i, r in enumerate(
+                    ["Patient", "head-surgeon", "assistant-surgeon", "circulating-nurse", "anaesthetist"])},
+            })
+        per_take, overall = eval_role_prediction_perf({1: gt_scans}, preds)
+        assert 1 in per_take
+        assert 0.0 <= overall.macro_f1 <= 1.0
+
+    def test_unscored_track_gets_default_guess(self):
+        from or4d_tpu.pipeline.roles_heuristic import DEFAULT_GUESS, assign_roles_in_frame
+
+        tracks = [{"timestamp_to_human_pose": {"000000": ("human_0", np.zeros((14, 3)))}}]
+        roles, _ = assign_roles_in_frame("000000", tracks, {})
+        best = max(DEFAULT_GUESS.items(), key=lambda x: x[1])[0]
+        assert roles == {"human_0": best}
