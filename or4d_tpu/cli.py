@@ -52,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--relations", default=None, help="scan_relations json (roles/phases input)")
     p.add_argument("--tracks", default=None, help="tracks pickle ({take}_scene_graph_track_*.pickle format)")
     p.add_argument("--roles", default=None, help="role predictions json (phases input)")
-    p.add_argument("--output-dir", default="phases_to_frames")
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--from-gt", action="store_true", help="L2: GT objects (registered scans) + annotation-json humans")
     # instance-labels stage
     p.add_argument("--boxes-dir", default=None, help="group_free_predictions npz dir")
     p.add_argument("--poses-dir", default=None, help="voxelpose pred_{take}_{frame}.npy dir")
@@ -166,11 +167,35 @@ def run_graphormer_roles(args) -> int:
 
 
 def run_instance_labels(args) -> int:
-    """L2: project predicted boxes + 3D poses onto the fused clouds,
-    writing instance_labels_pred/{take}_{scan}.npz (compute_instance_labels)."""
+    """L2: project object poses + 3D human poses onto the fused clouds
+    (compute_instance_labels). Two modes:
+
+    * dataset mode (default when --data-root has export_holistic_take*
+      dirs): per-take driver writing instance_labels{,_pred}/{take}_{scan}.npz
+      and human_name_to_3D_joints/{take}_GT_{bool}.npz; --from-gt uses
+      registered object scans + annotation-json humans (:139-156, :205-230),
+      otherwise Group-Free boxes + VoxelPose poses;
+    * loose-directory mode (--pcd-dir): label each pcd from npz boxes/poses.
+    """
     from or4d_tpu.data.pcd_io import read_pcd
-    from or4d_tpu.pipeline.instance_labels import compute_instance_labels_for_scan
+    from or4d_tpu.pipeline.instance_labels import compute_instance_labels_for_scan, process_take
     from or4d_tpu.pipeline.perception_infer import load_boxes_npz
+
+    data_root = Path(args.data_root)
+    takes = sorted(
+        int(p.name.replace("export_holistic_take", "").replace("_processed", ""))
+        for p in data_root.glob("export_holistic_take*_processed")
+    )
+    if takes and not args.pcd_dir:
+        out_root = Path(args.output_dir) if args.output_dir else data_root
+        total = 0
+        for take_idx in takes:
+            n = process_take(data_root, take_idx, from_gt=args.from_gt, out_root=out_root,
+                             boxes_dir=args.boxes_dir, poses_dir=args.poses_dir)
+            print(f"take {take_idx}: {n} scans labeled (from_gt={args.from_gt})")
+            total += n
+        print(f"wrote {total} instance-label npz files under {out_root}")
+        return 0
 
     pcd_dir = Path(args.pcd_dir or ".")
     outdir = Path(args.output_dir)
@@ -235,7 +260,7 @@ def run_phases(args) -> int:
     scan_relations = _load_scan_relations(args.relations)
     role_predictions = json.loads(Path(args.roles).read_text()) if args.roles else {}
     takes = sorted({int(k.split("_")[0]) for k in scan_relations})
-    outdir = Path(args.output_dir)
+    outdir = Path(args.output_dir or "phases_to_frames")
     outdir.mkdir(parents=True, exist_ok=True)
     stem = Path(args.relations).stem
     for take_idx in takes:

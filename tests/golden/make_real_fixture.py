@@ -24,8 +24,17 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-from or4d_tpu.config import LIMBS, OBJECT_LABEL_MAP
+from or4d_tpu.config import DEPTH_SCALING, LIMBS, OBJECT_LABEL_MAP
+from or4d_tpu.data.cameras import coord_transform_or4d_to_pose_tool
 from or4d_tpu.data.pcd_io import write_pcd
+
+POSE_SUBDIR = "vs_0.01_rf_0.25_maxnn_500_ft_0.25"
+# pose-tool joint names (annotation jsons) in IDX_TO_BODY_PART order
+BODY_PARTS = [
+    "head", "neck", "leftshoulder", "rightshoulder", "lefthip", "righthip",
+    "leftelbow", "rightelbow", "leftwrist", "rightwrist", "leftknee",
+    "rightknee", "leftfoot", "rightfoot",
+]
 
 ROOT = Path(__file__).resolve().parent / "real_data"
 
@@ -141,6 +150,72 @@ def build_scan(take_idx: int, pcd_idx: str, objects: dict[str, str], rels, human
     return joints_by_name
 
 
+def write_ply(path: Path, xyz: np.ndarray):
+    """Minimal binary_little_endian PLY with x/y/z float properties."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(xyz)}\n"
+        "property float x\nproperty float y\nproperty float z\nend_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(np.ascontiguousarray(xyz, np.float32).tobytes())
+
+
+def write_l2_gt_artifacts(take_idx: int, pcd_indices: list[str], objects_per_scan: dict[str, list[str]],
+                          joints_by_scan: dict[str, dict]):
+    """Registered object scans + pose npzs + manual jsons + annotation jsons
+    so the L2 GT path (compute_instance_labels.py:139-156,205-230) runs on
+    the fixture. Paths inside the npzs use the reference-release prefix."""
+    rng = np.random.default_rng(take_idx * 33 + 7)
+    poses_dir = ROOT / "object_pose_results" / POSE_SUBDIR
+    poses_dir.mkdir(parents=True, exist_ok=True)
+    stationary_names = ["instrument_table", "secondary_table"]
+
+    all_names = sorted({n for names in objects_per_scan.values() for n in names if n in OBJ_CENTERS})
+    transforms = {}
+    for name in all_names + ["object"]:  # 'object' = the false-positive probe
+        local = rng.normal(scale=150.0, size=(400, 3))
+        write_ply(ROOT / "object_scans" / name / f"{take_idx}.ply", local)
+        t = np.eye(4)
+        center = OBJ_CENTERS.get(name, [0.0, 300.0, 0.0])
+        t[:3, 3] = np.asarray(center) / DEPTH_SCALING  # get_object_poses re-scales
+        transforms[name] = t
+
+    stationary = np.array(
+        [(f"datasets/4D-OR/object_scans/{n}/{take_idx}.ply", transforms[n])
+         for n in stationary_names if n in transforms],
+        dtype=object,
+    )
+    np.savez_compressed(poses_dir / f"{take_idx}_stationary_objects.npz", stationary)
+
+    for pcd_idx in pcd_indices:
+        registered = {
+            f"datasets/4D-OR/object_scans/{n}/{take_idx}.ply": transforms[n].copy()
+            for n in objects_per_scan[pcd_idx]
+            if n in transforms and n not in stationary_names
+        }
+        # a registered false object that the manual json rejects
+        registered[f"datasets/4D-OR/object_scans/object/{take_idx}.ply"] = transforms["object"].copy()
+        np.savez_compressed(poses_dir / f"{take_idx}_{pcd_idx}.npz", registered)
+        (poses_dir / f"{take_idx}_{pcd_idx}_manual.json").write_text(json.dumps({"false_objects": ["object"]}))
+
+        # annotation json: world joints -> pose-tool frame, humanNames chosen
+        # so sorted order reproduces the GT human_{i} identities
+        labels = []
+        tool_name = {"Patient": "Patient", "human_0": "staff_A", "human_1": "staff_B",
+                     "human_2": "staff_C", "human_3": "staff_D"}
+        for h_name, joints in joints_by_scan[pcd_idx].items():
+            tool = coord_transform_or4d_to_pose_tool(np.array(joints, np.float64))
+            for bp, (x, y, z) in zip(BODY_PARTS, tool):
+                labels.append({"humanName": tool_name[h_name], "jointName": bp,
+                               "point3d": {"location": {"x": float(x), "y": float(y), "z": float(z)}}})
+        ann_dir = ROOT / f"export_holistic_take{take_idx}_processed" / "annotations"
+        ann_dir.mkdir(parents=True, exist_ok=True)
+        (ann_dir / f"{pcd_idx}.json").write_text(json.dumps({"labels": labels}))
+
+
 def main():
     ROOT.mkdir(exist_ok=True)
     scans_by_split = {"train": [], "validation": []}
@@ -184,6 +259,14 @@ def main():
     for split, scans in scans_by_split.items():
         with open(ROOT / f"relationships_{split}.json", "w") as f:
             json.dump({"scans": scans}, f, indent=1)
+
+    # L2 GT artifacts per take
+    all_scans = [s for scans in scans_by_split.values() for s in scans]
+    for take_idx in sorted({s["take_idx"] for s in all_scans}):
+        take_scans = [s for s in all_scans if s["take_idx"] == take_idx]
+        pcd_indices = [s["scan"] for s in take_scans]
+        objects_per_scan = {s["scan"]: list(s["objects"].values()) for s in take_scans}
+        write_l2_gt_artifacts(take_idx, pcd_indices, objects_per_scan, joints_by_take[take_idx])
 
     (ROOT / "human_name_to_3D_joints").mkdir(exist_ok=True)
     for take_idx, by_scan in joints_by_take.items():

@@ -1,6 +1,8 @@
 """L2 instance-labeling tests: box grids, projection semantics, the hand
 exception, and the full scan path."""
 
+from pathlib import Path
+
 import numpy as np
 
 from or4d_tpu.config import OBJECT_LABEL_MAP
@@ -129,3 +131,74 @@ class TestFullScan:
         assert labels.dtype == np.int8
         assert (labels[:800] == OBJECT_LABEL_MAP["instrument_table"]).mean() > 0.5
         assert (labels[800:] == OBJECT_LABEL_MAP["human_0"]).mean() > 0.3
+
+
+class TestGTPath:
+    """L2 GT-object + GT-human path and the per-take driver on the
+    real-format fixture (compute_instance_labels.py:125-266)."""
+
+    ROOT = Path(__file__).parent / "golden" / "real_data"
+
+    def test_load_gt_objects(self):
+        from or4d_tpu.pipeline.instance_labels import load_gt_objects
+
+        objects = load_gt_objects(self.ROOT, 1, "000000")
+        names = [n for n, _ in objects]
+        # stationary tables always merge in; 'object' is rejected by the
+        # manual json's false_objects
+        assert "instrument_table" in names and "secondary_table" in names
+        assert "object" not in names
+        assert "operating_table" in names
+        for name, pts in objects:
+            assert pts.shape[1] == 3 and len(pts) > 0
+        # transformed into world coordinates (centers in OR scale, not /2000)
+        op = dict(objects)["operating_table"]
+        assert np.linalg.norm(op.mean(0)) > 10.0
+
+    def test_load_gt_humans_roundtrip(self):
+        from or4d_tpu.pipeline.instance_labels import load_gt_humans
+
+        humans = load_gt_humans(self.ROOT, 1, "000000")
+        joints = np.load(str(self.ROOT / "human_name_to_3D_joints" / "1_GT_True.npz"),
+                         allow_pickle=True)["arr_0"].item()["000000"]
+        assert set(humans) == set(joints)
+        for name in humans:
+            np.testing.assert_allclose(humans[name], np.asarray(joints[name]), atol=1e-6)
+
+    def test_process_take_from_gt_artifacts(self, tmp_path):
+        from or4d_tpu.pipeline.instance_labels import process_take
+
+        n = process_take(self.ROOT, 1, from_gt=True, out_root=tmp_path)
+        assert n == 2
+        for pcd_idx in ("000000", "000001"):
+            p = tmp_path / "instance_labels" / f"1_{pcd_idx}.npz"
+            assert p.exists(), p
+            labels = np.load(str(p))["arr_0"]
+            present = set(np.unique(labels))
+            # humans and the operating table must be found
+            assert OBJECT_LABEL_MAP["operating_table"] in present
+            assert OBJECT_LABEL_MAP["Patient"] in present
+            assert -1 in present
+        jp = tmp_path / "human_name_to_3D_joints" / "1_GT_True.npz"
+        assert jp.exists()
+        by_scan = np.load(str(jp), allow_pickle=True)["arr_0"].item()
+        assert set(by_scan) == {"000000", "000001"}
+        assert "Patient" in by_scan["000000"]
+        assert np.asarray(by_scan["000000"]["Patient"]).shape == (14, 3)
+
+    def test_gt_labels_roughly_match_fixture_gt(self, tmp_path):
+        """The recomputed GT labels must substantially agree with the
+        fixture's shipped instance_labels on human points."""
+        from or4d_tpu.pipeline.instance_labels import process_take
+
+        process_take(self.ROOT, 4, from_gt=True, out_root=tmp_path)
+        got = np.load(str(tmp_path / "instance_labels" / "4_000000.npz"))["arr_0"]
+        want = np.load(str(self.ROOT / "instance_labels" / "4_000000.npz"))["arr_0"]
+        got = got[: len(want)]
+        for name in ("Patient", "human_0", "human_1"):
+            idx = OBJECT_LABEL_MAP[name]
+            gt_pts = want == idx
+            if gt_pts.sum() == 0:
+                continue
+            agree = (got[gt_pts] == idx).mean()
+            assert agree > 0.5, (name, agree)
