@@ -251,33 +251,27 @@ def decode_boxes(head_out: dict, mean_size_arr: np.ndarray):
     return head_out["center"], jnp.maximum(size, 1e-3), heading, sem_cls, score
 
 
-def nms_3d_axis_aligned(centers, sizes, scores, iou_threshold=0.25, top_k=64):
-    """Axis-aligned 3D NMS over decoded boxes (utils/nms.py semantics,
-    heading ignored for overlap like nms_3d_faster). numpy host-side."""
-    centers, sizes, scores = map(np.asarray, (centers, sizes, scores))
-    mins = centers - sizes / 2
-    maxs = centers + sizes / 2
-    order = np.argsort(-scores)
-    keep = []
-    while len(order) and len(keep) < top_k:
-        i = order[0]
-        keep.append(i)
-        if len(order) == 1:
-            break
-        rest = order[1:]
-        inter_min = np.maximum(mins[i], mins[rest])
-        inter_max = np.minimum(maxs[i], maxs[rest])
-        inter = np.prod(np.clip(inter_max - inter_min, 0, None), axis=1)
-        vol_i = np.prod(maxs[i] - mins[i])
-        vol_r = np.prod(maxs[rest] - mins[rest], axis=1)
-        iou = inter / np.maximum(vol_i + vol_r - inter, 1e-9)
-        order = rest[iou < iou_threshold]
-    return np.asarray(keep, np.int64)
+def nms_3d_samecls(centers, sizes, scores, headings=None, classes=None, iou_threshold=0.25):
+    """The reference's shipped NMS (ap_helper.py:168-189, use_3d_nms +
+    cls_nms): axis-aligned IoU over the AABBs of the heading-rotated corners,
+    same-class suppression only. Heading/classes default to zeros."""
+    from or4d_tpu.ops.box_geometry import nms_3d_samecls as _nms
+
+    centers = np.asarray(centers)
+    headings = np.zeros(len(centers)) if headings is None else headings
+    classes = np.zeros(len(centers), np.int64) if classes is None else classes
+    return _nms(centers, sizes, headings, scores, classes, iou_threshold)
 
 
 def eval_average_precision(pred_by_scan: dict, gt_by_scan: dict, iou_threshold: float = 0.25):
-    """Per-class AP at an IoU threshold (utils/eval_det.py semantics,
-    axis-aligned IoU, 11-point-free VOC-style AP)."""
+    """Per-class AP at an IoU threshold (utils/eval_det.py with get_iou_obb:
+    ORIENTED 3D IoU over heading-rotated corners, VOC-style AP).
+
+    ``pred_by_scan``: {scan: [(cls, center, size, heading, score), ...]};
+    ``gt_by_scan``: {scan: [(cls, center, size, heading), ...]}.
+    """
+    from or4d_tpu.ops.box_geometry import box_corners, oriented_box_iou
+
     classes = sorted({c for preds in pred_by_scan.values() for (c, *_rest) in preds} | {c for gts in gt_by_scan.values() for (c, *_r) in gts})
     aps = {}
     for cls in classes:
@@ -286,16 +280,14 @@ def eval_average_precision(pred_by_scan: dict, gt_by_scan: dict, iou_threshold: 
         for scan, gts in gt_by_scan.items():
             cls_gts = [g for g in gts if g[0] == cls]
             n_gt += len(cls_gts)
+            gt_corners = [box_corners(np.asarray(gc), np.asarray(gs), gh) for (_, gc, gs, gh) in cls_gts]
             used = np.zeros(len(cls_gts), bool)
-            preds = sorted([p for p in pred_by_scan.get(scan, []) if p[0] == cls], key=lambda p: -p[3])
-            for _, center, size, score in preds:
+            preds = sorted([p for p in pred_by_scan.get(scan, []) if p[0] == cls], key=lambda p: -p[4])
+            for _, center, size, heading, score in preds:
+                pc = box_corners(np.asarray(center), np.asarray(size), heading)
                 best_iou, best_j = 0.0, -1
-                for j, (_, gc, gs) in enumerate(cls_gts):
-                    mn1, mx1 = np.asarray(center) - np.asarray(size) / 2, np.asarray(center) + np.asarray(size) / 2
-                    mn2, mx2 = np.asarray(gc) - np.asarray(gs) / 2, np.asarray(gc) + np.asarray(gs) / 2
-                    inter = np.prod(np.clip(np.minimum(mx1, mx2) - np.maximum(mn1, mn2), 0, None))
-                    union = np.prod(mx1 - mn1) + np.prod(mx2 - mn2) - inter
-                    iou = inter / max(union, 1e-9)
+                for j, gc in enumerate(gt_corners):
+                    iou, _ = oriented_box_iou(pc, gc)
                     if iou > best_iou:
                         best_iou, best_j = iou, j
                 tp = best_iou >= iou_threshold and best_j >= 0 and not used[best_j]

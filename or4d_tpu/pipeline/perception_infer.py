@@ -71,7 +71,7 @@ def infer_boxes(model, variables, point_cloud: np.ndarray, mean_size_arr: np.nda
     import jax
     import jax.numpy as jnp
 
-    from or4d_tpu.models.groupfree import decode_boxes, nms_3d_axis_aligned
+    from or4d_tpu.models.groupfree import decode_boxes, nms_3d_samecls
 
     out = jax.jit(lambda v, pc: model.apply(v, pc, jnp.asarray(mean_size_arr), train=False))(
         variables, jnp.asarray(point_cloud[None])
@@ -80,7 +80,7 @@ def infer_boxes(model, variables, point_cloud: np.ndarray, mean_size_arr: np.nda
     center, size, heading, cls, score = map(lambda x: np.asarray(x)[0], (center, size, heading, cls, score))
     ok = score > score_threshold
     center, size, heading, cls, score = center[ok], size[ok], heading[ok], cls[ok], score[ok]
-    keep = nms_3d_axis_aligned(center, size, score, iou_threshold=nms_iou)
+    keep = nms_3d_samecls(center, size, score, headings=heading, classes=cls, iou_threshold=nms_iou)
     boxes7 = np.concatenate([center[keep], size[keep], heading[keep, None]], axis=1)
     result = {"classes_nms": cls[keep], "bboxes_nms": boxes7, "scores_nms": score[keep]}
     np.savez_compressed(out_path, result)

@@ -149,18 +149,26 @@ class TestNMSAndAP:
         centers = np.array([[0, 0, 0], [0.1, 0, 0], [5, 5, 5]])
         sizes = np.ones((3, 3))
         scores = np.array([0.9, 0.8, 0.7])
-        keep = groupfree.nms_3d_axis_aligned(centers, sizes, scores, iou_threshold=0.25)
+        keep = groupfree.nms_3d_samecls(centers, sizes, scores, iou_threshold=0.25)
         assert list(keep) == [0, 2]
 
+    def test_nms_same_class_only(self):
+        # overlapping boxes of DIFFERENT classes must both survive (cls_nms)
+        centers = np.array([[0, 0, 0], [0.1, 0, 0]])
+        sizes = np.ones((2, 3))
+        scores = np.array([0.9, 0.8])
+        keep = groupfree.nms_3d_samecls(centers, sizes, scores, classes=np.array([0, 1]), iou_threshold=0.25)
+        assert sorted(keep) == [0, 1]
+
     def test_ap_perfect_predictions(self):
-        gt = {"s1": [(0, [0, 0, 0], [1, 1, 1]), (1, [3, 3, 3], [1, 1, 1])]}
-        pred = {"s1": [(0, [0, 0, 0], [1, 1, 1], 0.9), (1, [3, 3, 3], [1, 1, 1], 0.8)]}
+        gt = {"s1": [(0, [0, 0, 0], [1, 1, 1], 0.0), (1, [3, 3, 3], [1, 1, 1], 0.3)]}
+        pred = {"s1": [(0, [0, 0, 0], [1, 1, 1], 0.0, 0.9), (1, [3, 3, 3], [1, 1, 1], 0.3, 0.8)]}
         aps = groupfree.eval_average_precision(pred, gt)
         assert aps[0] == pytest.approx(1.0)
         assert aps[1] == pytest.approx(1.0)
 
     def test_ap_false_positive(self):
-        gt = {"s1": [(0, [0, 0, 0], [1, 1, 1])]}
-        pred = {"s1": [(0, [10, 10, 10], [1, 1, 1], 0.9), (0, [0, 0, 0], [1, 1, 1], 0.5)]}
+        gt = {"s1": [(0, [0, 0, 0], [1, 1, 1], 0.0)]}
+        pred = {"s1": [(0, [10, 10, 10], [1, 1, 1], 0.0, 0.9), (0, [0, 0, 0], [1, 1, 1], 0.0, 0.5)]}
         aps = groupfree.eval_average_precision(pred, gt)
         assert 0 < aps[0] < 1.0
