@@ -92,13 +92,17 @@ class Backbone(nn.Module):
         w = self.width
         xyz = pc[..., :3].astype(jnp.float32)
         features = pc[..., 3:] if pc.shape[-1] > 3 else None
-        sa1_xyz, sa1_f, _ = SAVotes(2048, 0.2, 64, (64 * w, 64 * w, 128 * w), name="sa1")(xyz, features, train)
-        sa2_xyz, sa2_f, _ = SAVotes(1024, 0.4, 32, (128 * w, 128 * w, 256 * w), name="sa2")(sa1_xyz, sa1_f, train)
+        sa1_xyz, sa1_f, sa1_idx = SAVotes(2048, 0.2, 64, (64 * w, 64 * w, 128 * w), name="sa1")(xyz, features, train)
+        sa2_xyz, sa2_f, sa2_idx = SAVotes(1024, 0.4, 32, (128 * w, 128 * w, 256 * w), name="sa2")(sa1_xyz, sa1_f, train)
         sa3_xyz, sa3_f, _ = SAVotes(512, 0.8, 16, (128 * w, 128 * w, 256 * w), name="sa3")(sa2_xyz, sa2_f, train)
         sa4_xyz, sa4_f, _ = SAVotes(256, 1.2, 16, (128 * w, 128 * w, 256 * w), name="sa4")(sa3_xyz, sa3_f, train)
         f3 = FPStage((256 * w, 256 * w), name="fp1")(sa3_xyz, sa4_xyz, sa3_f, sa4_f, train)
         f2 = FPStage((256 * w, SEED_DIM), name="fp2")(sa2_xyz, sa3_xyz, sa2_f, f3, train)
-        return sa2_xyz, f2  # (B, 1024, 3), (B, 1024, 288)
+        # seed indices into the ORIGINAL cloud (reference fp2_inds,
+        # backbone_module.py:127: composed rather than relying on the
+        # FPS-prefix property)
+        seed_inds = jnp.take_along_axis(sa1_idx, sa2_idx, axis=1)
+        return sa2_xyz, f2, seed_inds  # (B, 1024, 3), (B, 1024, 288), (B, 1024)
 
 
 class PointsObjCls(nn.Module):
@@ -196,7 +200,7 @@ class GroupFreeDetector(nn.Module):
 
     @nn.compact
     def __call__(self, pc, mean_size_arr, train=True):
-        seed_xyz, seed_feats = Backbone(width=self.width, name="backbone")(pc, train)
+        seed_xyz, seed_feats, seed_inds = Backbone(width=self.width, name="backbone")(pc, train)
 
         # KPS: top-num_proposal seeds by objectness
         obj_logits = PointsObjCls(name="points_obj_cls")(seed_feats, train)
@@ -205,7 +209,8 @@ class GroupFreeDetector(nn.Module):
         cand_xyz = jnp.take_along_axis(seed_xyz, top_idx[..., None], axis=1)
         cand_feats = jnp.take_along_axis(seed_feats, top_idx[..., None], axis=1)
 
-        outputs = {"seeds_obj_cls_logits": obj_logits, "sample_inds": top_idx}
+        outputs = {"seeds_obj_cls_logits": obj_logits, "sample_inds": top_idx, "seed_inds": seed_inds,
+                   "seed_xyz": seed_xyz}
         outputs["proposal"] = PredictHead(name="proposal_head")(cand_feats, cand_xyz, mean_size_arr, train)
 
         query = nn.Dense(SEED_DIM, name="decoder_query_proj")(cand_feats)

@@ -146,7 +146,7 @@ class GroupFreeTrainer:
         v = self.model.init(rng, pc, mean_size_arr, train=False)
         return _make_state(self.model, self.tx, v)
 
-    def _step_impl(self, state, pc, mean_size_arr, seed_instance, gt, seed_xyz, key):
+    def _step_impl(self, state, pc, mean_size_arr, point_instance_label, gt, key):
         from or4d_tpu.models.groupfree_loss import groupfree_total_loss
 
         def loss_fn(params):
@@ -155,12 +155,26 @@ class GroupFreeTrainer:
                 pc, mean_size_arr, train=True, mutable=["batch_stats"],
                 rngs={"dropout": key},
             )
-            total, parts = groupfree_total_loss(out, seed_instance, gt, mean_size_arr, seed_xyz)
+            # per-seed instance assignment via the backbone's own seed
+            # indices (reference loss_helper.py:11-21 gather)
+            seed_instance = jnp.take_along_axis(point_instance_label, out["seed_inds"], axis=1)
+            total, parts = groupfree_total_loss(out, seed_instance, gt, mean_size_arr, out["seed_xyz"])
             return total, (mutated.get("batch_stats", {}), parts)
 
         (loss, (stats, parts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
         return _apply_update(self.tx, state, grads, stats, loss, parts)
 
-    def train_step(self, state, pc, mean_size_arr, seed_instance, gt, seed_xyz, key=None):
+    def train_step(self, state, pc, mean_size_arr, point_instance_label, gt, key=None):
         key = key if key is not None else jax.random.key(0)
-        return self._step(state, pc, mean_size_arr, seed_instance, gt, seed_xyz, key)
+        return self._step(state, pc, mean_size_arr, point_instance_label, gt, key)
+
+    def train_step_from_batch(self, state, batch: dict, mean_size_arr, key=None):
+        """One step from a GroupFreeDetectionDataset.batch() dict."""
+        return self.train_step(
+            state,
+            jnp.asarray(batch["point_clouds"]),
+            jnp.asarray(mean_size_arr),
+            jnp.asarray(batch["point_instance_label"]),
+            {k: jnp.asarray(v) for k, v in batch["gt"].items()},
+            key,
+        )

@@ -57,10 +57,9 @@ class TestGroupFreeTrainer:
             "sem_class": jnp.asarray(rng.integers(0, 4, (1, K2))),
             "mask": jnp.ones((1, K2)),
         }
-        seed_instance = jnp.asarray(rng.integers(-1, K2, (1, 1024)))
-        seed_xyz = jnp.zeros((1, 1024, 3))
+        point_instance_label = jnp.asarray(rng.integers(-1, K2, (1, 4096)))
         params_before = jax.tree_util.tree_map(np.asarray, state["params"])
-        state, loss, parts = tr.train_step(state, pc, mean_sizes, seed_instance, gt, seed_xyz)
+        state, loss, parts = tr.train_step(state, pc, mean_sizes, point_instance_label, gt)
         assert np.isfinite(float(loss))
         assert _changed(params_before, state["params"])
         assert "kps" in parts
