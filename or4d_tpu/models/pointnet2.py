@@ -61,42 +61,62 @@ class DelayedSharedMLP(nn.Module):
     channels: Sequence[int]
     radius: float = 0.0
     nsample: int = 0
-    fused: bool = False  # fused Pallas ball-query+group (TPU)
     dtype: object = jnp.float32
 
-    @nn.compact
-    def __call__(self, xyz, features, new_xyz, qidx=None, mask=None, train: bool = True):
+    def setup(self):
+        self.dense_layers = [
+            nn.Dense(ch, use_bias=False, dtype=self.dtype, name=f"dense_{i}")
+            for i, ch in enumerate(self.channels)
+        ]
+        self.bn_layers = [MaskedBatchNorm(ch, name=f"bn_{i}") for i, ch in enumerate(self.channels)]
+
+    def pre(self, xyz, features, new_xyz):
+        """Per-support layer-1 plane A = W @ [p, f_p] and the per-query
+        subtraction term Bq = W_xyz @ q."""
         support_in = (
             jnp.concatenate([xyz, features], axis=-1) if features is not None else xyz
         ).astype(self.dtype)
-        dense0 = nn.Dense(self.channels[0], use_bias=False, dtype=self.dtype, name="dense_0")
-        A = dense0(support_in)  # (B, N, C1): W @ [p, f_p]
+        A = self.dense_layers[0](support_in)  # (B, N, C1)
         pad_q = jnp.concatenate(
             [new_xyz.astype(self.dtype), jnp.zeros(new_xyz.shape[:-1] + (support_in.shape[-1] - 3,), self.dtype)],
             axis=-1,
         )
-        Bq = dense0(pad_q)  # (B, M, C1): W_xyz @ q (zero feature channels)
+        Bq = self.dense_layers[0](pad_q)  # (B, M, C1)
+        return A, Bq
 
-        if self.fused:
-            # one Pallas kernel: distances + first-k selection emit the
-            # grouped layer-1 features directly via one-hot MXU selection —
-            # no index tensors, no HBM gathers
-            from or4d_tpu.ops.pallas_ball_query import ball_query_group_pallas
-
-            gathered = ball_query_group_pallas(
-                ((float(self.radius), int(self.nsample)),), xyz, new_xyz, (A,)
-            )[0]
-        else:
-            gathered = jnp.take_along_axis(A[:, :, None, :], qidx[..., None], axis=1)  # (B, M, S, C1)
+    def post(self, gathered, Bq, mask=None, train: bool = True):
+        """BN/ReLU + the remaining conv layers on the grouped tensor."""
         h = gathered - Bq[:, :, None, :]
         m = _expand_mask(mask, h)
-        h = MaskedBatchNorm(self.channels[0], name="bn_0")(h, mask=m, train=train)
+        h = self.bn_layers[0](h, mask=m, train=train)
         h = nn.relu(h)
-        for i, ch in enumerate(self.channels[1:], start=1):
-            h = nn.Dense(ch, use_bias=False, dtype=self.dtype, name=f"dense_{i}")(h)
-            h = MaskedBatchNorm(ch, name=f"bn_{i}")(h, mask=m, train=train)
+        for dense, bn in zip(self.dense_layers[1:], self.bn_layers[1:]):
+            h = dense(h)
+            h = bn(h, mask=m, train=train)
             h = nn.relu(h)
         return h
+
+    def fused_eval_params(self):
+        """(a0, b0, W1, a1, b1) for the fully fused inference kernel: the two
+        eval-mode BNs folded to per-channel affines (recovered through probe
+        evaluations of the BN modules themselves, so running stats and
+        parameter naming stay untouched) and the second conv's kernel
+        (recovered by applying it to the identity)."""
+        assert len(self.channels) == 2, "fused eval path supports 2-layer SA MLPs"
+        c1, c2 = self.channels
+        z1 = jnp.zeros((1, c1), jnp.float32)
+        b0 = self.bn_layers[0](z1, train=False)[0]
+        a0 = self.bn_layers[0](z1 + 1.0, train=False)[0] - b0
+        W1 = self.dense_layers[1](jnp.eye(c1, dtype=self.dtype))
+        z2 = jnp.zeros((1, c2), jnp.float32)
+        b1 = self.bn_layers[1](z2, train=False)[0]
+        a1 = self.bn_layers[1](z2 + 1.0, train=False)[0] - b1
+        return a0, b0, W1, a1, b1
+
+    def __call__(self, xyz, features, new_xyz, qidx=None, mask=None, train: bool = True):
+        A, Bq = self.pre(xyz, features, new_xyz)
+        gathered = jnp.take_along_axis(A[:, :, None, :], qidx[..., None], axis=1)  # (B, M, S, C1)
+        return self.post(gathered, Bq, mask=mask, train=train)
 
 
 class SetAbstractionMSG(nn.Module):
@@ -110,29 +130,64 @@ class SetAbstractionMSG(nn.Module):
     scales: Sequence[SAScale]
     use_xyz: bool = True
     dtype: object = jnp.float32
+    # "auto": Pallas kernels on TPU, index path elsewhere. Explicit modes
+    # ("eval_kernel" / "train_kernel" / "index") exist for parity tests,
+    # together with kernel_interpret for running the kernels off-TPU.
+    fused_mode: str = "auto"
+    kernel_interpret: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True):
-        from or4d_tpu.ops.pallas_ball_query import ball_query_multiscale
+        from or4d_tpu.ops.pallas_ball_query import (
+            ball_query_group_mlp_pallas,
+            ball_query_group_pallas,
+            ball_query_multiscale,
+        )
 
         idx = ops.furthest_point_sample(xyz, self.npoint)
         idx = jax.lax.stop_gradient(idx)
         new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # (B, npoint, 3)
 
-        fused = jax.default_backend() == "tpu"
-        scale_idx = None
-        if not fused:
-            # XLA fallback: one fused distance pass serves every scale
-            scale_idx = ball_query_multiscale(
-                tuple((sc.radius, sc.nsample) for sc in self.scales), xyz, new_xyz
+        if self.fused_mode == "auto":
+            fused = jax.default_backend() == "tpu"
+            eval_kernel = not train
+        else:
+            fused = self.fused_mode in ("eval_kernel", "train_kernel")
+            eval_kernel = self.fused_mode == "eval_kernel"
+        scale_spec = tuple((float(sc.radius), int(sc.nsample)) for sc in self.scales)
+        mlps = [
+            DelayedSharedMLP(sc.mlp, radius=sc.radius, nsample=sc.nsample, dtype=self.dtype, name=f"mlp_{si}")
+            for si, sc in enumerate(self.scales)
+        ]
+
+        if fused:
+            pres = [m.pre(xyz, features, new_xyz) for m in mlps]
+            if eval_kernel and all(len(sc.mlp) == 2 for sc in self.scales):
+                # fully fused inference: one kernel computes every scale's
+                # grouped features, folded-BN MLP and slot maxpool in VMEM
+                params = tuple(
+                    (A, Bq, *m.fused_eval_params()) for (A, Bq), m in zip(pres, mlps)
+                )
+                outs = ball_query_group_mlp_pallas(scale_spec, xyz, new_xyz, params, self.kernel_interpret)
+                return new_xyz, jnp.concatenate(outs, axis=-1)
+            # training: one merged kernel emits every scale's grouped
+            # layer-1 features (shared distance tile), BN/ReLU + later
+            # layers run on the grouped tensors for exact batch statistics
+            grouped = ball_query_group_pallas(
+                scale_spec, xyz, new_xyz, tuple(A for A, _ in pres), self.kernel_interpret
             )
-        outs = []
-        for si, sc in enumerate(self.scales):
-            qidx = None if fused else jax.lax.stop_gradient(scale_idx[si])
-            h = DelayedSharedMLP(
-                sc.mlp, radius=sc.radius, nsample=sc.nsample, fused=fused, dtype=self.dtype, name=f"mlp_{si}"
-            )(xyz, features, new_xyz, qidx, mask=mask, train=train)
-            outs.append(jnp.max(h, axis=2))  # maxpool over nsample -> (B, npoint, C_out)
+            outs = [
+                jnp.max(m.post(g, Bq, mask=mask, train=train), axis=2)
+                for m, g, (_, Bq) in zip(mlps, grouped, pres)
+            ]
+            return new_xyz, jnp.concatenate(outs, axis=-1)
+
+        # XLA fallback: one fused distance pass serves every scale
+        scale_idx = ball_query_multiscale(scale_spec, xyz, new_xyz)
+        outs = [
+            jnp.max(m(xyz, features, new_xyz, jax.lax.stop_gradient(scale_idx[si]), mask=mask, train=train), axis=2)
+            for si, m in enumerate(mlps)
+        ]
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

@@ -49,6 +49,50 @@ def _prefix_count(mask_f: jax.Array, col: jax.Array, n: int) -> jax.Array:
     return c
 
 
+_CHUNK = 512  # lanes per chunk for the MXU prefix / gated selection
+
+
+def _prefix_count_mxu(d2: jax.Array, r2: float, tri: jax.Array):
+    """Inclusive prefix count along lanes via chunked triangular matmuls.
+
+    The Hillis–Steele scan costs ~13 full-width VPU passes; here each
+    512-lane chunk's local prefix is ONE (TM, 512) @ (512, 512) matmul on the
+    otherwise-idle MXU (0/1 bf16 inputs, f32 accumulation — exact), plus a
+    tiny cross-chunk scan. The radius mask is formed per chunk from the d2
+    slice so no full-width mask stays live in VMEM. Returns (per-chunk LOCAL
+    prefixes, exclusive chunk offsets (TM, nch), inclusive boundary counts
+    (TM, nch))."""
+    n = d2.shape[1]
+    nch = n // _CHUNK
+    locals_ = []
+    tots = []
+    for ch in range(nch):
+        m = (d2[:, ch * _CHUNK : (ch + 1) * _CHUNK] < r2).astype(tri.dtype)
+        loc = jax.lax.dot_general(
+            m, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TM, CHUNK) inclusive local prefix
+        locals_.append(loc)
+        tots.append(loc[:, _CHUNK - 1 : _CHUNK])
+    tot = jnp.concatenate(tots, axis=1)  # (TM, nch) per-chunk totals
+    # inclusive scan over the (tiny) chunk axis, then exclusive offsets
+    c = tot
+    colc = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    shift = 1
+    while shift < nch:
+        c = c + jnp.where(colc >= shift, pltpu.roll(c, shift, 1), 0.0)
+        shift *= 2
+    excl = c - tot  # (TM, nch) exclusive chunk offsets
+    return locals_, excl, c
+
+
+def _tri_inclusive(dtype):
+    """(CHUNK, CHUNK) lower-triangular-transpose ones: tri[j, i] = j <= i."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 1)
+    return (r <= cidx).astype(dtype)
+
+
 def _make_kernel(scales: tuple[tuple[float, int], ...], n_valid: int):
     def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *out_refs):
         x = x_ref[0]  # (1, N)
@@ -376,6 +420,202 @@ def _bqg_bwd(scales, interpret, res, gs):
 
 
 ball_query_group_pallas.defvjp(_bqg_fwd, _bqg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# inference-fused: ball query + grouping + folded-BN MLP + slot maxpool
+# ---------------------------------------------------------------------------
+
+def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, tm: int):
+    """Per scale, consume (A, Bq, a0, b0, W1, a1, b1) and emit the SA scale
+    output max_k relu(a1*(relu(a0*(val_k - Bq) + b0) @ W1) + b1) directly —
+    grouped tensors never leave VMEM. First-hit-fill padding is dropped: the
+    padded slots duplicate slot 1's value, which cannot change the max, so
+    the result equals the unfused eval path exactly (up to reassociation)."""
+    S = len(scales)
+
+    def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *rest):
+        A_refs = rest[0:S]
+        bq_refs = rest[S : 2 * S]
+        a0_refs = rest[2 * S : 3 * S]
+        b0_refs = rest[3 * S : 4 * S]
+        w1_refs = rest[4 * S : 5 * S]
+        a1_refs = rest[5 * S : 6 * S]
+        b1_refs = rest[6 * S : 7 * S]
+        out_refs = rest[7 * S : 8 * S]
+        d2_ref = rest[8 * S]     # VMEM scratch (nch, TM, CHUNK) f32
+        rank_ref = rest[8 * S + 1]  # VMEM scratch (TM, Np) f32, flat lanes
+
+        qx = qx_ref[0].reshape(tm, 1)
+        qy = qy_ref[0].reshape(tm, 1)
+        qz = qz_ref[0].reshape(tm, 1)
+        nch = d2_ref.shape[0]
+        tri = _tri_inclusive(jnp.bfloat16)
+        # chunk-major distance tiles; padded support lanes carry poison
+        # coords (wrapper), so no lane-index masking is needed anywhere
+        for ch in range(nch):
+            dx = qx - x_ref[0, ch]
+            dy = qy - y_ref[0, ch]
+            dz = qz - z_ref[0, ch]
+            d2_ref[ch] = dx * dx + dy * dy + dz * dz
+
+        for s, (radius, nsample) in enumerate(scales):
+            A_ref = A_refs[s]  # (1, nch, CHUNK, C1)
+            C1 = A_ref.shape[-1]
+            A_dtype = A_ref.dtype
+            Bq = bq_refs[s][0].astype(jnp.float32)  # (TM, C1)
+            a0 = a0_refs[s][0].astype(jnp.float32)  # (1, C1)
+            b0 = b0_refs[s][0].astype(jnp.float32)
+            W1 = w1_refs[s][0]  # (C1, C2)
+            a1 = a1_refs[s][0].astype(jnp.float32)  # (1, C2)
+            b1 = b1_refs[s][0].astype(jnp.float32)
+
+            r2 = radius * radius
+            # chunk-local prefixes via MXU triangular matmuls (0/1 bf16
+            # inputs, f32 accumulation — exact); the tiny cross-chunk scan
+            # turns them into global hit ranks, written as one flat masked
+            # rank plane (0 at non-hits) so every slot costs exactly ONE
+            # compare + ONE selection matmul
+            tots = []
+            locs = []
+            for ch in range(nch):
+                m = d2_ref[ch] < r2
+                loc = jax.lax.dot_general(
+                    m.astype(tri.dtype), tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                locs.append((m, loc))
+                tots.append(loc[:, _CHUNK - 1 : _CHUNK])
+            tot = jnp.concatenate(tots, axis=1)  # (TM, nch)
+            bnd = tot
+            shift = 1
+            colc = jax.lax.broadcasted_iota(jnp.int32, bnd.shape, 1)
+            while shift < nch:
+                bnd = bnd + jnp.where(colc >= shift, pltpu.roll(bnd, shift, 1), 0.0)
+                shift *= 2
+            excl = bnd - tot  # exclusive chunk offsets
+            for ch, (m, loc) in enumerate(locs):  # global rank at hits, 0 at non-hits
+                rank_ref[:, ch * _CHUNK : (ch + 1) * _CHUNK] = jnp.where(
+                    m, loc + excl[:, ch : ch + 1], 0.0
+                )
+            total = bnd[:, nch - 1 : nch]  # (TM, 1)
+
+            best = None
+            first = None
+            for k in range(1, nsample + 1):
+                sel = (rank_ref[:, :] == float(k)).astype(A_dtype)
+                val = jax.lax.dot_general(
+                    sel, A_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # first-hit fill on the narrow (TM, C1) tile so padded slots
+                # duplicate slot 1 (never changing the max), exactly like the
+                # unfused grouped tensor
+                if first is None:
+                    first = val
+                else:
+                    val = jnp.where(total >= float(k), val, first)
+                h = jnp.maximum((val - Bq) * a0 + b0, 0.0)
+                hw = jnp.dot(h.astype(W1.dtype), W1, preferred_element_type=jnp.float32)
+                o = jnp.maximum(hw * a1 + b1, 0.0)  # (TM, C2)
+                best = o if best is None else jnp.maximum(best, o)
+            out_refs[s][0] = best.astype(out_refs[s].dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def ball_query_group_mlp_pallas(
+    scales: tuple[tuple[float, int], ...],
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    scale_params: tuple,
+    interpret: bool = False,
+) -> tuple[jax.Array, ...]:
+    """Inference-only fully fused SA stage (all scales in one kernel).
+
+    ``scale_params[s]``: (A (B,N,C1), Bq (B,M,C1), a0 (C1,), b0 (C1,),
+    W1 (C1,C2), a1 (C2,), b1 (C2,)) — the delayed-aggregation layer-1 plane,
+    the query subtraction term, and the eval-mode BN affines folded around
+    the second conv. Returns one (B, M, C2_s) max-pooled output per scale.
+    """
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    Np = _round_up(N, _CHUNK)  # chunked MXU prefix wants whole chunks
+    # large query tiles reuse the streamed A operand across more MXU rows
+    # (measured -10% at 512 vs 128 on SA1 shapes); clamped to M so small
+    # stages (SA2: M=128) pay no padding
+    tm = min(512, _round_up(M, 128))
+    Mp = _round_up(M, tm)
+    G = Mp // tm
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+
+    # poison coords on padded support lanes: their d2 is astronomically
+    # large, so the kernel needs no lane-index masking at all. Chunk-major
+    # layout: lane slices at offsets cannot broadcast in Mosaic, so each
+    # 512-lane chunk lives at lane offset 0 of its own sublane row.
+    nch = Np // _CHUNK
+    sup = [
+        jnp.pad(xyz[..., i], ((0, 0), (0, Np - N)), constant_values=1e12).reshape(B, nch, 1, _CHUNK)
+        for i in range(3)
+    ]
+    qry = [jnp.pad(new_xyz[..., i], ((0, 0), (0, Mp - M))).reshape(B * G, 1, tm) for i in range(3)]
+
+    A_in, bq_in, a0_in, b0_in, w1_in, a1_in, b1_in = [], [], [], [], [], [], []
+    for A, Bq, a0, b0, W1, a1, b1 in scale_params:
+        # chunk-major view (free reshape) so the kernel's dynamic chunk loop
+        # indexes a non-lane dimension
+        A_in.append(jnp.pad(A, ((0, 0), (0, Np - N), (0, 0))))
+        bq_in.append(
+            jnp.pad(Bq.astype(jnp.float32), ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, -1)
+        )
+        a0_in.append(a0.reshape(1, 1, -1).astype(jnp.float32))
+        b0_in.append(b0.reshape(1, 1, -1).astype(jnp.float32))
+        w1_in.append(W1[None])
+        a1_in.append(a1.reshape(1, 1, -1).astype(jnp.float32))
+        b1_in.append(b1.reshape(1, 1, -1).astype(jnp.float32))
+
+    grid = (B, G)
+    qspec = pl.BlockSpec((1, 1, tm), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, nch, 1, _CHUNK), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    A_specs = [
+        pl.BlockSpec((1, Np, A.shape[-1]), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+        for A in A_in
+    ]
+    bq_specs = [
+        pl.BlockSpec((1, tm, q.shape[-1]), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+        for q in bq_in
+    ]
+    vec_spec = lambda v: pl.BlockSpec(v.shape, lambda b, m: (0, 0, 0), memory_space=pltpu.VMEM)
+    out_specs = tuple(
+        pl.BlockSpec((1, tm, w.shape[-1]), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+        for w in w1_in
+    )
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((B * G, tm, w.shape[-1]), A.dtype) for w, (A, *_r) in zip(w1_in, scale_params)
+    )
+
+    outs = pl.pallas_call(
+        _make_group_mlp_kernel(scales, N, tm),
+        grid=grid,
+        in_specs=[qspec, qspec, qspec, sspec, sspec, sspec,
+                  *A_specs, *bq_specs,
+                  *[vec_spec(v) for v in a0_in], *[vec_spec(v) for v in b0_in],
+                  *[vec_spec(v) for v in w1_in],
+                  *[vec_spec(v) for v in a1_in], *[vec_spec(v) for v in b1_in]],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((nch, tm, _CHUNK), jnp.float32),
+            pltpu.VMEM((tm, Np), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*qry, *sup, *A_in, *bq_in, *a0_in, *b0_in, *w1_in, *a1_in, *b1_in)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    return tuple(o.reshape(B, Mp, -1)[:, :M] for o in outs)
 
 
 def ball_query_multiscale(scales, xyz: jax.Array, new_xyz: jax.Array) -> tuple[jax.Array, ...]:

@@ -64,3 +64,82 @@ class TestFusedGroup:
         np.testing.assert_allclose(grad[2], 3.0)
         np.testing.assert_allclose(grad[3], 1.0)
         assert (grad[[0, 1, 4, 5, 6, 7]] == 0).all()
+
+
+class TestFusedGroupMLP:
+    """Inference-fused group+MLP+maxpool kernel vs the composed eval path."""
+
+    def _params(self, seed, C1, C2, M, B, xyz, new_xyz, A):
+        rng = np.random.default_rng(seed)
+        Bq = jnp.asarray(rng.standard_normal((B, M, C1)).astype(np.float32))
+        a0 = jnp.asarray(rng.uniform(0.5, 1.5, C1).astype(np.float32))
+        b0 = jnp.asarray(rng.standard_normal(C1).astype(np.float32) * 0.1)
+        W1 = jnp.asarray(rng.standard_normal((C1, C2)).astype(np.float32) * 0.2)
+        a1 = jnp.asarray(rng.uniform(0.5, 1.5, C2).astype(np.float32))
+        b1 = jnp.asarray(rng.standard_normal(C2).astype(np.float32) * 0.1)
+        return (A, Bq, a0, b0, W1, a1, b1)
+
+    def test_parity_vs_composed(self):
+        from or4d_tpu.ops.pallas_ball_query import ball_query_group_mlp_pallas
+
+        B, N, M, C1, C2 = 2, 700, 140, 64, 96
+        xyz, new_xyz, A1 = _setup(4, B, N, M, C1)
+        A2 = _setup(5, B, N, M, C1)[2]
+        scales = ((0.15, 8), (0.3, 12))
+        p1 = self._params(6, C1, C2, M, B, xyz, new_xyz, A1)
+        p2 = self._params(7, C1, 64, M, B, xyz, new_xyz, A2)
+        outs = ball_query_group_mlp_pallas(scales, xyz, new_xyz, (p1, p2), True)
+
+        for s, ((r, ns), p) in enumerate(zip(scales, (p1, p2))):
+            A, Bq, a0, b0, W1, a1, b1 = p
+            idx = np.asarray(ball_query(r, ns, xyz, new_xyz))
+            g = np.take_along_axis(np.asarray(A)[:, :, None, :], idx[..., None], axis=1)
+            h = np.maximum((g - np.asarray(Bq)[:, :, None, :]) * np.asarray(a0) + np.asarray(b0), 0)
+            hw = h @ np.asarray(W1)
+            o = np.maximum(hw * np.asarray(a1) + np.asarray(b1), 0)
+            want = o.max(axis=2)  # maxpool over slots
+            np.testing.assert_allclose(np.asarray(outs[s]), want, rtol=1e-4, atol=1e-4)
+
+    def test_sa_stage_eval_equivalence(self):
+        """SetAbstractionMSG's fused inference path (interpret-mode kernel)
+        equals its index path with the same params in eval mode."""
+        import jax
+
+        from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
+
+        B, N = 2, 600
+        rng = np.random.default_rng(8)
+        xyz = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((B, N, 4)).astype(np.float32))
+        scales = (SAScale(0.2, 8, (16, 24)), SAScale(0.4, 12, (16, 32)))
+        ref = SetAbstractionMSG(npoint=64, scales=scales, fused_mode="index")
+        variables = ref.init(jax.random.key(0), xyz, feats, train=False)
+        _, want = ref.apply(variables, xyz, feats, train=False)
+
+        fused = SetAbstractionMSG(npoint=64, scales=scales, fused_mode="eval_kernel", kernel_interpret=True)
+        _, got = fused.apply(variables, xyz, feats, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    def test_sa_stage_train_kernel_equivalence(self):
+        """The merged train-path kernel (grouped tensors) matches the index
+        path in train mode (batch statistics included)."""
+        import jax
+
+        from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
+
+        B, N = 2, 600
+        rng = np.random.default_rng(9)
+        xyz = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((B, N, 4)).astype(np.float32))
+        scales = (SAScale(0.2, 8, (16, 24)), SAScale(0.4, 12, (16, 32)))
+        ref = SetAbstractionMSG(npoint=64, scales=scales, fused_mode="index")
+        variables = ref.init(jax.random.key(0), xyz, feats, train=False)
+        (_, want), want_stats = ref.apply(
+            variables, xyz, feats, train=True, mutable=["batch_stats"])
+
+        fused = SetAbstractionMSG(npoint=64, scales=scales, fused_mode="train_kernel", kernel_interpret=True)
+        (_, got), got_stats = fused.apply(
+            variables, xyz, feats, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(want_stats), jax.tree_util.tree_leaves(got_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
