@@ -12,6 +12,7 @@ PointNet++ encoder calls per scene). The BASELINE.json target is >= 10x that,
 i.e. vs_baseline >= 10.
 """
 
+import argparse
 import json
 import time
 
@@ -19,6 +20,10 @@ import numpy as np
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true", help="bench the train step instead of inference")
+    ap.add_argument("--iters", type=int, default=12)
+    args = ap.parse_args()
     import jax
 
     # persistent compile cache: whole-model TPU compiles take minutes through
@@ -53,20 +58,44 @@ def main() -> None:
     # scalar-reduce the output: the axon backend's block_until_ready does not
     # reliably block, and bulk host pulls ride a slow tunnel — a scalar pull
     # forces full execution with negligible transfer
-    fwd = jax.jit(lambda v, b, p: model.apply(v, b, train=False, pack=p).rel_logprobs.sum())
-    float(fwd(variables, batch, pack))  # compile + warm
+    if args.train:
+        from or4d_tpu.config import ExperimentConfig, TPUConfig
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.train.loop import Trainer
 
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        float(fwd(variables, batch, pack))
-    dt = (time.perf_counter() - t0) / iters
+        cfg = ExperimentConfig(tpu=TPUConfig(scene_batch=S, donate_state=False, compute_dtype="bfloat16"))
+        trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        state = trainer.init_state(jax.random.key(0), batch)
+        key = jax.random.key(1)
+
+        def step():
+            nonlocal state
+            state, parts, _ = trainer.train_step(state, batch, key)
+            return float(parts["loss"])
+
+        step()  # compile + warm
+        metric = "sg_train_scenes_per_sec"
+        run = step
+    else:
+        fwd = jax.jit(lambda v, b, p: model.apply(v, b, train=False, pack=p).rel_logprobs.sum())
+        run = lambda: float(fwd(variables, batch, pack))
+        run()  # compile + warm
+        metric = "sg_inference_scenes_per_sec"
+
+    # median of per-iteration times: run-to-run variance on this chip is
+    # ~10%, a single mean over few iters is noisy (PERF.md)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     scenes_per_sec = S / dt
 
     print(
         json.dumps(
             {
-                "metric": "sg_inference_scenes_per_sec",
+                "metric": metric,
                 "value": round(scenes_per_sec, 3),
                 "unit": "scenes/sec",
                 "vs_baseline": round(scenes_per_sec / 10.0, 3),
