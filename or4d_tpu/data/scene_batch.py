@@ -160,20 +160,41 @@ class SlotPack:
     edge_valid: Any
 
     @classmethod
-    def build(cls, batch: "SceneBatch", bucket: int = 128) -> "SlotPack":
+    def build(cls, batch: "SceneBatch", bucket: int = 128, shards: int = 1) -> "SlotPack":
+        """shards=1: flat plan (indices into the global S*slots axis).
+        shards>1: per-data-shard plans of a COMMON bucketed capacity, with
+        indices LOCAL to each shard's (S/shards)*slots block — the model's
+        gathers then stay within each dp shard (no cross-chip collectives).
+        Arrays are (shards, cap)."""
+
         def plan(mask):
             flat = np.asarray(mask).reshape(-1)
             idx = np.nonzero(flat)[0]
             cap = max(bucket, int(np.ceil(len(idx) / bucket)) * bucket)
             cap = min(cap, len(flat))
-            if len(idx) > cap:  # cannot happen (cap >= len when cap==len(flat))
-                idx = idx[:cap]
             valid = np.zeros(cap, bool)
             valid[: len(idx)] = True
             padded = np.zeros(cap, np.int32)
             padded[: len(idx)] = idx
             return padded, valid
 
-        oi, ov = plan(batch.obj_mask)
-        ei, ev = plan(batch.edge_mask)
+        def plan_sharded(mask):
+            m = np.asarray(mask)
+            S = m.shape[0]
+            assert S % shards == 0, f"{S} scenes not divisible by {shards} shards"
+            per = S // shards
+            locals_ = [np.nonzero(m[d * per : (d + 1) * per].reshape(-1))[0] for d in range(shards)]
+            need = max(len(l) for l in locals_)
+            cap = max(bucket, int(np.ceil(need / bucket)) * bucket)
+            cap = min(cap, per * int(np.prod(m.shape[1:])))
+            idx = np.zeros((shards, cap), np.int32)
+            valid = np.zeros((shards, cap), bool)
+            for d, l in enumerate(locals_):
+                idx[d, : len(l)] = l
+                valid[d, : len(l)] = True
+            return idx, valid
+
+        p = plan if shards == 1 else plan_sharded
+        oi, ov = p(batch.obj_mask)
+        ei, ev = p(batch.edge_mask)
         return cls(obj_idx=oi, obj_valid=ov, edge_idx=ei, edge_valid=ev)

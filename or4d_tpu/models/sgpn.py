@@ -91,7 +91,26 @@ class SGPN(nn.Module):
         rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(jnp.float32)
         obj_rows_mask = batch.obj_mask.reshape(S * O).astype(jnp.float32)
         edge_rows_mask = batch.edge_mask.reshape(S * E).astype(jnp.float32)
-        if pack is not None:
+        sharded_pack = pack is not None and pack.obj_idx.ndim == 2
+        if sharded_pack:
+            # per-dp-shard plans (SlotPack.build(shards=dp)): batched gathers
+            # whose indices are local to each shard's scene block, so SPMD
+            # keeps them on-chip
+            D = pack.obj_idx.shape[0]
+
+            def gather_local(flat, idx):
+                g = jnp.take_along_axis(
+                    flat.reshape((D, flat.shape[0] // D) + flat.shape[1:]),
+                    idx.reshape(idx.shape + (1,) * (flat.ndim - 1)),
+                    axis=1,
+                )
+                return g.reshape((D * idx.shape[1],) + flat.shape[1:])
+
+            obj_flat = gather_local(obj_flat, pack.obj_idx)
+            rel_flat = gather_local(rel_flat, pack.edge_idx)
+            obj_rows_mask = pack.obj_valid.reshape(-1).astype(jnp.float32)
+            edge_rows_mask = pack.edge_valid.reshape(-1).astype(jnp.float32)
+        elif pack is not None:
             # slot packing: run the encoders only over (bucketed) valid rows,
             # then scatter features back into the padded (S, O/E) layout
             obj_flat = jnp.take(obj_flat, pack.obj_idx, axis=0)
@@ -106,7 +125,17 @@ class SGPN(nn.Module):
         rel_feat = PointNet2MSGEncoder(input_dim=Cr, out_size=self.edge_feature_size, name="rel_encoder", **enc)(
             rel_flat, mask=edge_rows_mask, train=train
         )
-        if pack is not None:
+        if sharded_pack:
+            D = pack.obj_idx.shape[0]
+
+            def scatter_local(feat, idx, valid, rows, width):
+                f = (feat * valid.reshape(-1, 1).astype(feat.dtype)).reshape(D, idx.shape[1], width)
+                z = jnp.zeros((D, rows // D, width), feat.dtype)
+                return z.at[jnp.arange(D)[:, None], idx].add(f).reshape(rows, width)
+
+            obj_feat = scatter_local(obj_feat, pack.obj_idx, pack.obj_valid, S * O, self.point_feature_size)
+            rel_feat = scatter_local(rel_feat, pack.edge_idx, pack.edge_valid, S * E, self.edge_feature_size)
+        elif pack is not None:
             ov = pack.obj_valid[:, None].astype(obj_feat.dtype)
             ev = pack.edge_valid[:, None].astype(rel_feat.dtype)
             obj_feat = jnp.zeros((S * O, self.point_feature_size), obj_feat.dtype).at[pack.obj_idx].add(obj_feat * ov)

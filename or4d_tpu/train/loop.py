@@ -31,6 +31,18 @@ from or4d_tpu.train.metrics import RelationMetricAccumulator
 from or4d_tpu.utils.profiling import StepTimer
 
 
+def _gather_eval(x):
+    """Assemble sharded eval outputs. On one host, fetching a dp-sharded
+    array already gathers across local devices; across hosts the explicit
+    collective is required (the reference's DataParallel does the
+    equivalent device->rank0 gather implicitly)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(x)
+    return x
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -122,23 +134,37 @@ class Trainer:
 
     def _pack_for(self, batch: SceneBatch):
         """Slot packing skips padded object/edge rows through the encoders.
-        Only on a single-device mesh: the pack gathers across the global
-        scene axis, which would defeat dp locality."""
-        if self.mesh.devices.size != 1:
-            return None
+        Single device: one flat plan. dp>1 (mp=1): per-shard plans whose
+        gathers stay inside each dp shard (SlotPack.build(shards=dp)),
+        sharded over 'dp'. mp>1 shards the slot axes themselves, which a
+        compaction over slots would re-mix — packing is skipped there."""
         from or4d_tpu.data.scene_batch import SlotPack
 
-        return SlotPack.build(batch)
+        if self.mesh.devices.size == 1:
+            return SlotPack.build(batch)
+        dp = self.mesh.shape["dp"]
+        if self.mesh.shape["mp"] != 1 or batch.num_scenes % dp:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pack = SlotPack.build(batch, shards=dp)
+        sh = NamedSharding(self.mesh, P("dp"))
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), pack)
 
     def train_step(self, state: TrainState, batch: SceneBatch, key: jax.Array):
+        if batch.num_scenes % self.mesh.shape["dp"]:
+            batch = batch.pad_scenes(self.mesh.shape["dp"])
         pack = self._pack_for(batch)
         with self.mesh:
             return self._jitted("train")(state, shard_batch(batch, self.mesh), key, pack)
 
     def eval_step(self, state: TrainState, batch: SceneBatch):
+        if batch.num_scenes % self.mesh.shape["dp"]:
+            batch = batch.pad_scenes(self.mesh.shape["dp"])
         pack = self._pack_for(batch)
         with self.mesh:
-            return self._jitted("eval")(state, shard_batch(batch, self.mesh), pack)
+            rel, obj = self._jitted("eval")(state, shard_batch(batch, self.mesh), pack)
+        return _gather_eval(rel), _gather_eval(obj)
 
     # ------------------------------------------------------------------ loops
     def fit(
