@@ -73,6 +73,9 @@ class ModelConfig:
     lambda_o: float = 1e-6
     full_image_embedding_size: int = 768
     image_model: str | bool = False
+    # side length fed to the image trunk; 456 is tf_efficientnet_b5_ns's
+    # resolved input size (timm data config), overridable for CI shapes
+    image_size: int = 456
     multi_rel_outputs: bool = False
     # encoder SA centroid/sample counts (reference 512/128, (16,32)/(32,64));
     # overridable for scaled-down CI shapes
@@ -94,6 +97,7 @@ class ModelConfig:
             lambda_o=float(m.get("lambda_o", 1e-6)),
             full_image_embedding_size=m.get("FULL_IMAGE_EMBEDDING_SIZE", 768),
             image_model=m.get("IMAGE_MODEL", False),
+            image_size=m.get("IMAGE_SIZE", 456),
         )
 
 

@@ -174,6 +174,26 @@ class ORDataset:
             self._human_joints_cache[take_idx] = ingest.load_human_joints(self.data_root, take_idx, from_gt=True)
         return self._human_joints_cache[take_idx]
 
+    def _attach_images(self, sample: SceneSample, scan: dict) -> SceneSample:
+        """IMAGE_INPUT == 'full': the 6-camera stack rides OUTSIDE the npz
+        cache, loaded per access like the reference (or_dataset.py:128-129
+        adds `full_image` after the cached sample is fetched). When the take
+        has no exported color frames (synthetic/bench runs), a deterministic
+        random stack keeps the multimodal path runnable end-to-end."""
+        if self.cfg.image_input != "full":
+            return sample
+        from or4d_tpu.data import images as img_mod
+
+        size = self.cfg.model.image_size
+        if img_mod.has_images(self.data_root, scan["take_idx"]):
+            sample.images = img_mod.load_full_image_data(
+                self.data_root, scan["take_idx"], scan["scan"], image_size=size
+            )
+        else:
+            rng = np.random.default_rng(zlib.crc32(f"img_{sample.scan_id}".encode()))
+            sample.images = rng.normal(size=(img_mod.NUM_CAMERAS, size, size, 3)).astype(np.float32)
+        return sample
+
     def sample(self, index: int, points_per_obj: int = 3000) -> SceneSample:
         scan = self.scans[index]
         # scan ids carry the split index suffix like the reference
@@ -185,7 +205,7 @@ class ORDataset:
         if cache_path.exists():
             data = np.load(cache_path, allow_pickle=True)
             meta = data["meta"].item()
-            return SceneSample(
+            cached = SceneSample(
                 **{k: data[k] for k in (
                     "obj_points", "rel_points", "edge_index", "rel_onehot", "gt_class",
                     "gt_rels", "obj_mask", "edge_mask", "rel_hand_points")},
@@ -193,6 +213,7 @@ class ORDataset:
                 take_idx=meta["take_idx"],
                 slot_names=tuple(meta["slot_names"]),
             )
+            return self._attach_images(cached, scan)
         # stable across processes (hash() is PYTHONHASHSEED-salted) so cached
         # samples are reproducible
         rng = np.random.default_rng(zlib.crc32(scan_id.encode()))
@@ -223,7 +244,7 @@ class ORDataset:
             rel_hand_points=sample.rel_hand_points,
             meta={"scan_id": sample.scan_id, "take_idx": sample.take_idx, "slot_names": list(sample.slot_names)},
         )
-        return sample
+        return self._attach_images(sample, scan)
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0, limit: int | None = None):
         """Yield SceneBatches of ``batch_size`` scenes (last batch smaller;

@@ -183,30 +183,106 @@ def frozen_trunk_mask(params: Any) -> Any:
     return mask_tree(params)
 
 
-def load_torch_efficientnet(state_dict: dict, params: dict) -> dict:
-    """Map a timm tf_efficientnet_b5_ns state_dict onto the flax param tree
-    for parity runs (paper weight import path, SURVEY.md §5). Conv weights
-    transpose OIHW -> HWIO; depthwise OIHW (O=ch, I=1) -> HWIO with
-    feature_group_count semantics."""
+def sgpn_trainable_labels(params: Any) -> Any:
+    """'train'/'freeze' labels for the FULL SGPN param tree (optax
+    multi_transform): everything outside the image branch trains; inside it
+    only conv_head and the reduction do — the reference freezes the trunk
+    every forward including BN affine params
+    (scene_graph_prediction_model.py:49-57, freeze_image_model_batchnorm)."""
+
+    def walk(tree, in_image, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, in_image or k == "image_branch", path + (k,)) for k, v in tree.items()}
+        trainable = (not in_image) or any(p in ("conv_head", "reduction") for p in path)
+        return "train" if trainable else "freeze"
+
+    return walk(params, False)
+
+
+def timm_parameter_mapping():
+    """Enumerate the complete timm `tf_efficientnet_b5_ns` -> flax-trunk name
+    map as tuples ``(timm_key, collection, flax_path, kind)``.
+
+    timm module layout (timm/models/efficientnet.py): `conv_stem`/`bn1`,
+    `blocks.{stage}.{rep}` where stage 0 is a DepthwiseSeparableConv
+    (conv_dw, bn1, se, conv_pw, bn2) and stages 1-6 are InvertedResiduals
+    (conv_pw, bn1, conv_dw, bn2, se, conv_pwl, bn3), then `conv_head`/`bn2`.
+    `num_classes=0` (model_utils.py:10) means no classifier keys exist.
+
+    kind: 'conv' = OIHW -> HWIO transpose (covers depthwise too: torch
+    (C,1,k,k) -> flax (k,k,1,C) under feature_group_count); 'vec' = 1-d copy.
+    """
+    def bn(timm_name, flax_name, under):
+        yield f"{timm_name}.weight", "params", under + (flax_name, "scale"), "vec"
+        yield f"{timm_name}.bias", "params", under + (flax_name, "bias"), "vec"
+        yield f"{timm_name}.running_mean", "batch_stats", under + (flax_name, "mean"), "vec"
+        yield f"{timm_name}.running_var", "batch_stats", under + (flax_name, "var"), "vec"
+
+    T = ("trunk",)
+    yield "conv_stem.weight", "params", T + ("conv_stem", "kernel"), "conv"
+    yield from bn("bn1", "bn_stem", T)
+    for bi, (expand, _ch, reps, _stride, _k) in enumerate(_BASE):
+        for ri in range(_round_repeats(reps, _B5_DEPTH)):
+            t = f"blocks.{bi}.{ri}"
+            B = T + (f"block{bi}_{ri}",)
+            if expand == 1:
+                # DepthwiseSeparableConv: its conv_pw is the projection,
+                # landing on the flax block's conv_pwl/bn3 slots
+                yield f"{t}.conv_dw.weight", "params", B + ("conv_dw", "kernel"), "conv"
+                yield from bn(f"{t}.bn1", "bn2", B)
+                proj, proj_bn = "conv_pw", f"{t}.bn2"
+            else:
+                yield f"{t}.conv_pw.weight", "params", B + ("conv_pw", "kernel"), "conv"
+                yield from bn(f"{t}.bn1", "bn1", B)
+                yield f"{t}.conv_dw.weight", "params", B + ("conv_dw", "kernel"), "conv"
+                yield from bn(f"{t}.bn2", "bn2", B)
+                proj, proj_bn = "conv_pwl", f"{t}.bn3"
+            yield f"{t}.se.conv_reduce.weight", "params", B + ("se", "reduce", "kernel"), "conv"
+            yield f"{t}.se.conv_reduce.bias", "params", B + ("se", "reduce", "bias"), "vec"
+            yield f"{t}.se.conv_expand.weight", "params", B + ("se", "expand", "kernel"), "conv"
+            yield f"{t}.se.conv_expand.bias", "params", B + ("se", "expand", "bias"), "vec"
+            yield f"{t}.{proj}.weight", "params", B + ("conv_pwl", "kernel"), "conv"
+            yield from bn(proj_bn, "bn3", B)
+    yield "conv_head.weight", "params", T + ("conv_head", "kernel"), "conv"
+    yield from bn("bn2", "bn_head", T)
+
+
+def load_torch_efficientnet(state_dict: dict, variables: dict) -> dict:
+    """Import a timm tf_efficientnet_b5_ns state_dict into the trunk's flax
+    variables (paper-weight parity path, SURVEY.md §5).
+
+    ``variables`` holds the trunk's {'params', 'batch_stats'} trees (either
+    the bare :class:`EfficientNetB5` variables or any tree whose
+    'trunk' subtree is it). Every trunk tensor must be covered — missing or
+    shape-mismatched keys raise, so a partial import can't silently ship.
+    Non-trunk keys in the state_dict (e.g. nothing for num_classes=0) are
+    rejected unless ``num_batches_tracked`` bookkeeping.
+    """
     import numpy as np
 
-    out = jax.tree_util.tree_map(lambda x: x, params)
+    out = {c: jax.tree_util.tree_map(lambda x: x, variables.get(c, {})) for c in ("params", "batch_stats")}
 
-    def put(path, value):
-        node = out
+    def put(collection, path, value):
+        node = out[collection]
+        if "trunk" not in node and path and path[0] == "trunk":
+            path = path[1:]  # variables passed for the bare trunk module
         for p in path[:-1]:
             node = node[p]
-        expected = node[path[-1]]
+        expected = np.asarray(node[path[-1]])
         if value.shape != expected.shape:
-            raise ValueError(f"shape mismatch at {path}: {value.shape} vs {expected.shape}")
-        node[path[-1]] = value
+            raise ValueError(f"shape mismatch at {'/'.join(path)}: {value.shape} vs {expected.shape}")
+        node[path[-1]] = jnp.asarray(value, expected.dtype)
 
-    for k, v in state_dict.items():
-        a = np.asarray(v)
-        if k == "conv_stem.weight":
-            put(("trunk", "conv_stem", "kernel"), a.transpose(2, 3, 1, 0))
-        elif k == "conv_head.weight":
-            put(("trunk", "conv_head", "kernel"), a.transpose(2, 3, 1, 0))
-        # block mappings are resolved lazily by name pattern in callers; the
-        # full mapping table lives in tests/golden once paper weights exist
+    consumed = set()
+    for timm_key, collection, path, kind in timm_parameter_mapping():
+        if timm_key not in state_dict:
+            raise KeyError(f"state_dict missing {timm_key}")
+        a = np.asarray(state_dict[timm_key])
+        if kind == "conv":
+            a = a.transpose(2, 3, 1, 0)
+        put(collection, path, a)
+        consumed.add(timm_key)
+    extra = [k for k in state_dict if k not in consumed and not k.endswith("num_batches_tracked")]
+    if extra:
+        raise KeyError(f"unmapped state_dict keys: {extra[:5]}{'...' if len(extra) > 5 else ''}")
     return out

@@ -65,6 +65,15 @@ class Trainer:
             self.mesh = make_mesh(dp=self.cfg.tpu.mesh_data, mp=self.cfg.tpu.mesh_model)
         self.model = SGPN.from_config(self.cfg, self.vocab.num_classes, self.vocab.num_relations)
         self.tx = optax.adamw(self.cfg.lr, weight_decay=self.cfg.w_decay)
+        if self.cfg.image_input == "full":
+            # frozen EfficientNet trunk: stop_gradient blocks the grads, but
+            # AdamW weight decay would still shrink frozen params — mask them
+            # out of the update entirely (reference freezing semantics)
+            from or4d_tpu.models.efficientnet import sgpn_trainable_labels
+
+            self.tx = optax.multi_transform(
+                {"train": self.tx, "freeze": optax.set_to_zero()}, sgpn_trainable_labels
+            )
         self._w_obj = jnp.asarray(self.weights_obj)
         self._w_rel = jnp.asarray(self.weights_rel)
         self._jit_cache: dict[str, Any] = {}

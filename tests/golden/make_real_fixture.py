@@ -163,6 +163,130 @@ def write_ply(path: Path, xyz: np.ndarray):
         f.write(np.ascontiguousarray(xyz, np.float32).tobytes())
 
 
+# fixture color frames are 256x192 — the release's 2048x1536 at 1/8 scale;
+# 2D keypoint annotations are written in THIS pixel space so image size and
+# annotation coordinates stay consistent (the dataset-format contract)
+FIXTURE_IMAGE_SIZE = (256, 192)
+FIXTURE_IMAGE_SCALE = FIXTURE_IMAGE_SIZE[0] / 2048.0
+
+
+def write_color_frames(take_idx: int, pcd_indices: list[str]):
+    """6-camera jpgs + timestamp_to_pcd_and_frames_list.json, the inputs of
+    load_full_image_data (data_preparation_utils.py:296-310). Frames are
+    small gradients with per-camera hue so the transform/crop path has real
+    jpg decoding to chew on; the json is a LIST indexed by int(pcd_idx)."""
+    from PIL import Image
+
+    take_root = ROOT / f"export_holistic_take{take_idx}_processed"
+    color_dir = take_root / "colorimage"
+    color_dir.mkdir(parents=True, exist_ok=True)
+    frames_list = []
+    for pcd_idx in sorted(pcd_indices, key=int):
+        assert int(pcd_idx) == len(frames_list), "frames list must be index-addressable"
+        color_idx = f"{int(pcd_idx) + 100:06d}"  # offset: color indices != pcd indices
+        entry = {"pcd": pcd_idx}
+        for c_idx in range(1, 7):
+            entry[f"color_{c_idx}"] = color_idx
+            w, h = FIXTURE_IMAGE_SIZE
+            xx, yy = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+            rgb = np.stack([
+                (xx + 20 * c_idx) % 256,
+                (yy + 35 * int(pcd_idx)) % 256,
+                np.full_like(xx, (c_idx * 40) % 256),
+            ], axis=-1).astype(np.uint8)
+            Image.fromarray(rgb).save(color_dir / f"camera0{c_idx}_colorimage-{color_idx}.jpg")
+        frames_list.append([f"ts_{pcd_idx}", entry])
+    (take_root / "timestamp_to_pcd_and_frames_list.json").write_text(json.dumps(frames_list))
+
+
+def _quat_xyzw(R: np.ndarray) -> dict:
+    from scipy.spatial.transform import Rotation
+
+    q = Rotation.from_matrix(R).as_quat()  # xyzw
+    return {"x": float(q[0]), "y": float(q[1]), "z": float(q[2]), "w": float(q[3])}
+
+
+def _look_at_extrinsics(pos: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """Camera pose (cam -> world) whose -z axis looks at target — the
+    orientation the voxelpose projection (inv(extrinsics) then
+    diag(1,-1,-1)) maps to +z-forward image coordinates, y down."""
+    f = target - pos
+    f = f / np.linalg.norm(f)
+    x = np.cross(f, [0.0, 1.0, 0.0])
+    x = x / np.linalg.norm(x)
+    z = -f
+    y = np.cross(z, x)
+    ext = np.eye(4)
+    ext[:3, :3] = np.stack([x, y, z], axis=1)
+    ext[:3, 3] = pos
+    return ext
+
+
+def write_cameras_and_2d(take_idx: int, pcd_indices: list[str], joints_by_scan: dict):
+    """camera0{i}.json calibration files (helpers/utils.py load_cam_infos
+    schema) + 2D_keypoint_annotations.json with per-camera projections of
+    the fixture skeletons (the inputs of the HigherHRNet OR_4D dataset and
+    the VoxelPose db builder)."""
+    from or4d_tpu.data.cameras import cam_infos_to_voxelpose, load_cam_infos
+    from or4d_tpu.data.voxelpose_dataset import IMAGE_SIZE, project_to_camera
+
+    take_root = ROOT / f"export_holistic_take{take_idx}_processed"
+    take_root.mkdir(parents=True, exist_ok=True)
+    fx = fy = 900.0
+    cx, cy = 1024.0, 768.0
+    ident_rot = {"x": 0.0, "y": 0.0, "z": 0.0, "w": 1.0}
+    zero_t = {"m00": 0.0, "m10": 0.0, "m20": 0.0}
+    # 6 cameras on a 5 m circle at 3 m height, looking at the table (meters:
+    # OR_4D export coords / 500)
+    target = np.array([0.0, 500.0, 0.0]) / 500.0
+    for c_idx in range(1, 7):
+        ang = 2 * np.pi * (c_idx - 1) / 6 + 0.3
+        pos = np.array([5.0 * np.cos(ang), 3.0, 5.0 * np.sin(ang)])
+        ext = _look_at_extrinsics(pos, target)
+        data = {
+            "value0": {
+                "camera_pose": {
+                    "rotation": _quat_xyzw(ext[:3, :3]),
+                    "translation": {"m00": pos[0], "m10": pos[1], "m20": pos[2]},
+                },
+                "color2depth_transform": {"rotation": ident_rot, "translation": zero_t},
+                "color_parameters": {
+                    "intrinsics_matrix": {
+                        "m00": fx, "m10": 0.0, "m20": cx,
+                        "m01": 0.0, "m11": fy, "m21": cy,
+                        "m02": 0.0, "m12": 0.0, "m22": 1.0,
+                    },
+                    "fov_x": fx, "fov_y": fy, "c_x": cx, "c_y": cy,
+                    "width": 2048, "height": 1536,
+                    "radial_distortion": {f"m{i}0": 0.0 for i in range(6)},
+                    "tangential_distortion": {"m00": 0.0, "m10": 0.0},
+                },
+            }
+        }
+        (take_root / f"camera0{c_idx}.json").write_text(json.dumps(data))
+
+    cameras = cam_infos_to_voxelpose(load_cam_infos(take_root))
+    ann = {}
+    for pcd_idx in pcd_indices:
+        for c_idx in range(1, 7):
+            entries = []
+            for name, joints in joints_by_scan[pcd_idx].items():
+                xy = project_to_camera(np.asarray(joints, np.float64), cameras, c_idx - 1)
+                vis = (
+                    (xy[:, 0] >= 0) & (xy[:, 0] <= IMAGE_SIZE[0] - 1)
+                    & (xy[:, 1] >= 0) & (xy[:, 1] <= IMAGE_SIZE[1] - 1)
+                ).astype(float) * 2.0
+                # keypoints live in the jpg pixel space (release: 2048x1536;
+                # fixture jpgs are 1/8 scale)
+                xy = xy * FIXTURE_IMAGE_SCALE
+                kpts = np.concatenate([xy, vis[:, None]], axis=1).reshape(-1).tolist()
+                x0, y0 = xy.min(axis=0)
+                x1, y1 = xy.max(axis=0)
+                entries.append({"keypoints": kpts, "bbox": [x0, y0, x1 - x0, y1 - y0], "human_name": name})
+            ann[f"{pcd_idx}_{c_idx}"] = entries
+    (take_root / "2D_keypoint_annotations.json").write_text(json.dumps(ann))
+
+
 def write_l2_gt_artifacts(take_idx: int, pcd_indices: list[str], objects_per_scan: dict[str, list[str]],
                           joints_by_scan: dict[str, dict]):
     """Registered object scans + pose npzs + manual jsons + annotation jsons
@@ -267,6 +391,8 @@ def main():
         pcd_indices = [s["scan"] for s in take_scans]
         objects_per_scan = {s["scan"]: list(s["objects"].values()) for s in take_scans}
         write_l2_gt_artifacts(take_idx, pcd_indices, objects_per_scan, joints_by_take[take_idx])
+        write_color_frames(take_idx, pcd_indices)
+        write_cameras_and_2d(take_idx, pcd_indices, joints_by_take[take_idx])
 
     (ROOT / "human_name_to_3D_joints").mkdir(exist_ok=True)
     for take_idx, by_scan in joints_by_take.items():
