@@ -36,8 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
         "mode",
         choices=[
             "train", "evaluate", "infer", "roles", "graphormer-roles",
-            "phases", "instance-labels", "visualize",
+            "phases", "instance-labels", "visualize", "perception",
         ],
+    )
+    p.add_argument(
+        "--task",
+        default=None,
+        choices=["pose2d-train", "pose2d-infer", "pose3d-train", "detect-train"],
+        help="perception mode: which L1 stage to run",
     )
     p.add_argument("--config", default="no_gt", help="builtin config name or JSON path")
     p.add_argument("--data-root", default="data")
@@ -58,6 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--boxes-dir", default=None, help="group_free_predictions npz dir")
     p.add_argument("--poses-dir", default=None, help="voxelpose pred_{take}_{frame}.npy dir")
     p.add_argument("--pcd-dir", default=None, help="fused point cloud dir ({take}_{scan}.pcd)")
+    p.add_argument("--pred-pose2d", default=None, help="pose3d-train: pred_or_4d_hrnet_coco_*.npz from pose2d-infer")
     return p
 
 
@@ -272,6 +279,103 @@ def run_phases(args) -> int:
     return 0
 
 
+def run_perception(args) -> int:
+    """L1 training/inference drivers, one per external_src pipeline:
+    pose2d (HigherHRNet tools/dist_train equivalent), pose2d-infer (the
+    `pred_or_4d_hrnet_coco_{split}.npz` dump VoxelPose consumes), pose3d
+    (voxelpose run/train), detect (Group-Free train_OR.py)."""
+    import jax as _jax
+
+    from or4d_tpu.train import checkpoint as ckpt
+
+    epochs = args.epochs or 1
+    split = args.split or "train"
+    rng = _jax.random.key(args.seed)
+
+    if args.task in ("pose2d-train", "pose2d-infer"):
+        from or4d_tpu.data.higherhrnet_dataset import HigherHRNetDataset
+        from or4d_tpu.train.perception_trainers import HigherHRNetTrainer
+
+        tr = HigherHRNetTrainer()
+        ds = HigherHRNetDataset(args.data_root, split, augment=args.task == "pose2d-train")
+        first = next(ds.batches(args.batch_size or 2))
+        state = tr.init_state(rng, first["images"])
+        if args.checkpoint_dir and ckpt.latest_step(args.checkpoint_dir) is not None:
+            state = ckpt.restore(args.checkpoint_dir, state)
+        if args.task == "pose2d-infer":
+            from or4d_tpu.pipeline.perception_infer import run_2d_inference_for_voxelpose
+
+            out = args.output or f"pred_or_4d_hrnet_coco_{split}.npz"
+            preds = run_2d_inference_for_voxelpose(tr.model, {"params": state["params"], "batch_stats": state["batch_stats"]}, ds, out)
+            print(f"wrote {out} ({len(preds)} images)")
+            return 0
+        for epoch in range(epochs):
+            losses = []
+            for i, b in enumerate(ds.batches(args.batch_size or 2, shuffle=True, seed=args.seed + epoch, limit=args.limit)):
+                state, loss, _ex = tr.train_step(state, b["images"], b["gt_low"], b["gt_high"], b["joint_pos"], b["joint_valid"])
+                losses.append(float(loss))
+            print(f"pose2d epoch {epoch}: loss={np.mean(losses):.4f} ({len(losses)} steps)")
+            if args.checkpoint_dir:
+                ckpt.save(args.checkpoint_dir, state, step=epoch)
+        return 0
+
+    if args.task == "pose3d-train":
+        from or4d_tpu.data.voxelpose_dataset import VoxelPoseDataset
+        from or4d_tpu.train.perception_trainers import VoxelPoseTrainer
+
+        ds = VoxelPoseDataset(args.data_root, split, pred_pose2d_path=args.pred_pose2d)
+        tr = VoxelPoseTrainer()
+        s0 = ds.sample(0)
+        import jax.numpy as jnp
+
+        cameras = {k: jnp.asarray(v) for k, v in ds.cameras.items()}
+        hs = jnp.asarray(ds.heatmap_scale)
+        state = tr.init_state(rng, jnp.asarray(s0["input_heatmaps"]), cameras, hs)
+        if args.checkpoint_dir and ckpt.latest_step(args.checkpoint_dir) is not None:
+            state = ckpt.restore(args.checkpoint_dir, state)
+        for epoch in range(epochs):
+            losses = []
+            n = min(len(ds), args.limit) if args.limit else len(ds)
+            for i in range(n):
+                state, loss, _ex = tr.train_step_from_sample(state, ds.sample(i), cameras, hs)
+                losses.append(float(loss))
+            print(f"pose3d epoch {epoch}: loss={np.mean(losses):.4f} ({len(losses)} frames)")
+            if args.checkpoint_dir:
+                ckpt.save(args.checkpoint_dir, state, step=epoch)
+        return 0
+
+    if args.task == "detect-train":
+        from or4d_tpu.data.groupfree_dataset import GroupFreeDetectionDataset
+        from or4d_tpu.train.perception_trainers import GroupFreeTrainer
+
+        ds = GroupFreeDetectionDataset(args.data_root, split)
+        tr = GroupFreeTrainer()
+        b0 = ds.batch(list(range(min(2, len(ds)))))
+        msa = ds.mean_size_arr()
+        import jax.numpy as jnp
+
+        state = tr.init_state(rng, jnp.asarray(b0["point_clouds"]), jnp.asarray(msa))
+        if args.checkpoint_dir and ckpt.latest_step(args.checkpoint_dir) is not None:
+            state = ckpt.restore(args.checkpoint_dir, state)
+        bs = args.batch_size or 2
+        order = np.arange(len(ds))
+        for epoch in range(epochs):
+            np.random.default_rng(args.seed + epoch).shuffle(order)
+            sel = order[: args.limit] if args.limit else order
+            losses = []
+            for i in range(0, len(sel), bs):
+                rng, key = _jax.random.split(rng)
+                b = ds.batch([int(j) for j in sel[i : i + bs]])
+                state, loss, _parts = tr.train_step_from_batch(state, b, msa, key)
+                losses.append(float(loss))
+            print(f"detect epoch {epoch}: loss={np.mean(losses):.4f} ({len(losses)} steps)")
+            if args.checkpoint_dir:
+                ckpt.save(args.checkpoint_dir, state, step=epoch)
+        return 0
+
+    raise SystemExit("perception mode requires --task")
+
+
 def main(argv: list[str] | None = None) -> int:
     import jax as _jax
 
@@ -288,6 +392,8 @@ def main(argv: list[str] | None = None) -> int:
         return run_instance_labels(args)
     if args.mode == "visualize":
         return run_visualize(args)
+    if args.mode == "perception":
+        return run_perception(args)
     cfg = load_config(args.config)
     # vocab from data files when shipped, embedded defaults otherwise
     from pathlib import Path as _P

@@ -22,6 +22,10 @@ import numpy as np
 
 from or4d_tpu.config import DEPTH_SCALING
 
+# voxelpose project_points_radial_OR_4D divides world coords by 500
+# (external_src/voxelpose/voxelpose_lib/utils/cameras.py:56-63)
+VOXELPOSE_WORLD_SCALE = 500.0
+
 
 def quat_to_matrix(x: float, y: float, z: float, w: float) -> np.ndarray:
     """xyzw quaternion -> 3x3 rotation (scipy Rotation.from_quat order)."""
@@ -105,14 +109,23 @@ def load_cam_infos(root_path: str | Path, cam_count: int = 6) -> dict[str, dict]
 
 def cam_infos_to_voxelpose(cam_infos: dict[str, dict]) -> dict[str, np.ndarray]:
     """Stack load_cam_infos output into the batched camera dict the
-    VoxelPose projection consumes ({R, T, f, c, size})."""
+    VoxelPose projection consumes ({R, T, f, c, size}).
+
+    The reference projection (voxelpose OR_4D.py:236-247) is
+    `inv(extrinsics)` (world -> camera) followed by diag(1, -1, -1) —
+    Azure-Kinect camera axes vs the image convention ("this is needed") —
+    then the fov_x/fov_y/c_x/c_y pinhole, with world points divided by 500
+    (extrinsics live in meters, OR_4D export coords in meters*500). With
+    `project_points` computing R @ (p - T) on EXPORT-scale points, that
+    folds to R = F @ ext[:3,:3].T and T = 500 * ext[:3,3]; the uniform
+    1/500 cancels in the x/z perspective divide."""
+    flip = np.diag([1.0, -1.0, -1.0])
     Rs, Ts, fs, cs, sizes = [], [], [], [], []
     for name in sorted(cam_infos):
         ci = cam_infos[name]
         ext = np.asarray(ci["extrinsics"], np.float64)
-        # extrinsics map camera -> world; the projector wants world -> cam
-        R_wc = ext[:3, :3].T
-        T = ext[:3, 3]
+        R_wc = flip @ ext[:3, :3].T
+        T = ext[:3, 3] * VOXELPOSE_WORLD_SCALE
         Rs.append(R_wc)
         Ts.append(T)
         fs.append([ci["fov_x"], ci["fov_y"]])

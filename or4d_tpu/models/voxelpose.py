@@ -239,21 +239,53 @@ class VoxelPose(nn.Module):
             return w @ grid  # (J, 3)
 
         poses = jax.vmap(regress_one)(centers)  # (K, J, 3)
-        return poses, scores, root
+        return poses, scores, centers, root
 
 
-def voxelpose_loss(pred_poses, scores, gt_poses, gt_mask, patient_ids=None, patient_weight: float = 4.0):
-    """Per-joint L1 with patient weighting (multi_person_posenet.py:36-103 /
-    LOSS.PATIENT_WEIGHT), greedy matching pred->gt by root distance."""
-    # match each gt to the nearest predicted root
-    pred_root = pred_poses[:, 0, :]
-    gt_root = gt_poses[:, 0, :]
-    d = jnp.linalg.norm(pred_root[None, :, :] - gt_root[:, None, :], axis=-1)  # (G, K)
-    match = jnp.argmin(d, axis=1)  # (G,)
-    matched = pred_poses[match]  # (G, J, 3)
-    l1 = jnp.abs(matched - gt_poses).mean(axis=(1, 2))  # (G,)
-    w = jnp.ones_like(l1)
-    if patient_ids is not None:
-        w = jnp.where(patient_ids, patient_weight, 1.0)
-    w = w * gt_mask
-    return jnp.sum(l1 * w) / jnp.maximum(jnp.sum(w), 1.0)
+MATCH_RADIUS = 500.0  # ProposalLayer.filter_proposal's validity gate (mm)
+
+
+def match_proposals_to_gt(centers, gt_roots, gt_mask, radius: float = MATCH_RADIUS):
+    """ProposalLayer.filter_proposal (cuboid_proposal_net.py:25-40): each
+    PROPOSAL takes its nearest GT root (so several proposals may share one
+    GT — intended); proposals farther than 500mm from every GT are invalid.
+    Returns (cand2gt (K,) int, valid (K,) bool)."""
+    d = jnp.linalg.norm(centers[:, None, :] - gt_roots[None, :, :], axis=-1)  # (K, G)
+    d = jnp.where(gt_mask[None, :], d, jnp.inf)
+    cand2gt = jnp.argmin(d, axis=1)
+    valid = jnp.min(d, axis=1) <= radius
+    return cand2gt, valid
+
+
+def voxelpose_loss(
+    pred_poses,
+    centers,
+    gt_roots,
+    gt_poses,
+    gt_vis,
+    gt_mask,
+    patient_slot_mask=None,
+    patient_weight: float = 4.0,
+):
+    """The reference training loss (multi_person_posenet.py:75-103 +
+    PerJointL1Loss): per valid proposal, weighted-L1 against its matched GT
+    — weights are the per-joint visibility, x PATIENT_WEIGHT when the
+    PROPOSAL SLOT's patient flag is set (the reference indexes
+    is_patient_masks[i, n] by candidate index n, not by the matched GT —
+    quirk preserved) — running-averaged over contributing proposals.
+
+    Shapes: pred_poses/centers (K, J, 3)/(K, 3); gt_roots (G, 3);
+    gt_poses (G, J, 3); gt_vis (G, J); gt_mask (G,) bool;
+    patient_slot_mask (K,) bool."""
+    K = pred_poses.shape[0]
+    cand2gt, valid = match_proposals_to_gt(centers, gt_roots, gt_mask)
+    matched = gt_poses[cand2gt]  # (K, J, 3)
+    w = gt_vis[cand2gt].astype(pred_poses.dtype)[..., None]  # (K, J, 1)
+    if patient_slot_mask is not None:
+        w = w * jnp.where(patient_slot_mask, patient_weight, 1.0)[:, None, None]
+    # PerJointL1Loss(use_target_weight): MEAN over all (J, 3) elements of
+    # w * |pred - gt| per candidate, then equal-weight average over matched
+    # candidates (the reference's running (count-1)/count update)
+    per_cand = jnp.mean(jnp.abs(pred_poses - matched) * w, axis=(1, 2))  # (K,)
+    v = valid.astype(pred_poses.dtype)
+    return jnp.sum(per_cand * v) / jnp.maximum(jnp.sum(v), 1.0)

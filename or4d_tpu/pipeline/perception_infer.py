@@ -22,17 +22,35 @@ import numpy as np
 
 
 def write_2d_pose_npz(path: str | Path, per_frame_people: dict[str, np.ndarray]) -> None:
-    """{"{take}_{frame}_{cam}": (P, J, 3) [x, y, score]} -> npz (the HRNet
-    inference dump format)."""
-    np.savez_compressed(path, **{k: np.asarray(v) for k, v in per_frame_people.items()})
+    """{"{take}_camera0{c}_colorimage-{idx}.jpg": (P, J, 3) [x, y, score]}
+    -> the reference HRNet dump format: ONE pickled dict under 'arr_0'
+    (voxelpose OR_4D.py:113-115 reads np.load(...)['arr_0'].item())."""
+    np.savez_compressed(path, np.array({k: np.asarray(v) for k, v in per_frame_people.items()}, dtype=object))
+
+
+def run_2d_inference_for_voxelpose(model, variables, dataset, out_path: str | Path, max_people: int = 10) -> dict:
+    """Enumerate a HigherHRNetDataset's images (no augmentation), run
+    HigherHRNet + the HeatmapParser, and dump the npz VoxelPose's db builder
+    consumes (`pred_or_4d_hrnet_coco_{split}.npz`), keyed by the reference
+    identifier '{take}_{image_name}'."""
+    images_by_key = {}
+    for i, d in enumerate(dataset.image_dicts):
+        sample = dataset.sample(i)
+        key = f"{d['take_idx']}_{d['image_path'].name}"
+        images_by_key[key] = sample["image"]
+    preds = infer_2d_poses(model, variables, images_by_key, max_people=max_people)
+    write_2d_pose_npz(out_path, preds)
+    return preds
 
 
 def infer_2d_poses(model, variables, images_by_key: dict[str, np.ndarray], max_people: int = 10) -> dict[str, np.ndarray]:
-    """Run HigherHRNet per camera image; group with associative embeddings."""
+    """Run HigherHRNet per camera image; group with the reference
+    HeatmapParser (Munkres matching + adjust + refine, core/group.py)."""
     import jax
     import jax.numpy as jnp
 
-    from or4d_tpu.models.higherhrnet import aggregate_heatmaps, group_people_by_tags
+    from or4d_tpu.models.higherhrnet import aggregate_heatmaps
+    from or4d_tpu.pipeline.ae_grouping import parse_heatmaps
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     out = {}
@@ -45,8 +63,11 @@ def infer_2d_poses(model, variables, images_by_key: dict[str, np.ndarray], max_p
         tags = np.asarray(
             jax.image.resize(jnp.asarray(low[..., J:]), high.shape[:-1] + (J,), "bilinear")
         )
-        people = group_people_by_tags(agg, tags, max_people=max_people)
-        out[key] = np.stack(people) if people else np.zeros((0, J, 3))
+        # parser eats channels-first (J, H, W)
+        people, _scores = parse_heatmaps(
+            agg.transpose(2, 0, 1), tags.transpose(2, 0, 1), max_people=max_people
+        )
+        out[key] = people[..., :3] if len(people) else np.zeros((0, J, 3))
     return out
 
 
@@ -55,7 +76,7 @@ def infer_3d_poses(model, variables, heatmaps: np.ndarray, cameras: dict, heatma
     import jax
     import jax.numpy as jnp
 
-    poses, scores, _ = jax.jit(lambda v, h: model.apply(v, h, cameras, jnp.asarray(heatmap_scale), train=False))(
+    poses, scores, _centers, _root = jax.jit(lambda v, h: model.apply(v, h, cameras, jnp.asarray(heatmap_scale), train=False))(
         variables, jnp.asarray(heatmaps)
     )
     poses = np.asarray(poses)

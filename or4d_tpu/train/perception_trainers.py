@@ -104,22 +104,34 @@ class VoxelPoseTrainer:
         v = self.model.init(rng, heatmaps, cameras, heatmap_scale, train=False)
         return _make_state(self.model, self.tx, v)
 
-    def _step_impl(self, state, heatmaps, cameras, heatmap_scale, gt_poses, gt_mask, patient_ids):
+    def _step_impl(self, state, heatmaps, cameras, heatmap_scale, gt_roots, gt_poses, gt_vis, gt_mask, patient_slots):
         from or4d_tpu.models.voxelpose import voxelpose_loss
 
         def loss_fn(params):
-            (poses, scores, _root), mutated = self.model.apply(
+            (poses, _scores, centers, _root), mutated = self.model.apply(
                 {"params": params, "batch_stats": state["batch_stats"]},
                 heatmaps, cameras, heatmap_scale, train=True, mutable=["batch_stats"],
             )
-            loss = voxelpose_loss(poses, scores, gt_poses, gt_mask, patient_ids, self.patient_weight)
+            loss = voxelpose_loss(
+                poses, centers, gt_roots, gt_poses, gt_vis, gt_mask,
+                patient_slot_mask=patient_slots, patient_weight=self.patient_weight,
+            )
             return loss, mutated.get("batch_stats", {})
 
         (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
         return _apply_update(self.tx, state, grads, stats, loss)
 
-    def train_step(self, state, heatmaps, cameras, heatmap_scale, gt_poses, gt_mask, patient_ids):
-        return self._step(state, heatmaps, cameras, heatmap_scale, gt_poses, gt_mask, patient_ids)
+    def train_step(self, state, heatmaps, cameras, heatmap_scale, gt_roots, gt_poses, gt_vis, gt_mask, patient_slots):
+        return self._step(state, heatmaps, cameras, heatmap_scale, gt_roots, gt_poses, gt_vis, gt_mask, patient_slots)
+
+    def train_step_from_sample(self, state, sample: dict, cameras, heatmap_scale):
+        """One VoxelPoseDataset frame dict -> a train step."""
+        return self.train_step(
+            state,
+            sample["input_heatmaps"], cameras, heatmap_scale,
+            sample["gt_roots"], sample["gt_poses"], sample["gt_vis"],
+            sample["gt_mask"], sample["patient_mask"],
+        )
 
 
 @dataclasses.dataclass

@@ -102,15 +102,53 @@ class TestVoxelPoseNets:
         np.testing.assert_allclose(loc[0], np.asarray(voxelpose.SPACE_CENTER) - 4000, atol=1e-3)
         np.testing.assert_allclose(loc[1], np.asarray(voxelpose.SPACE_CENTER) + 4000, atol=1e-3)
 
-    def test_loss_patient_weighting(self):
+    def test_loss_per_proposal_matching(self):
+        """filter_proposal semantics: each PROPOSAL takes its nearest GT
+        (two proposals may share one GT); proposals >500mm from every GT
+        are dropped from the loss."""
+        # two GT people 2000mm apart; three proposals: near gt0, near gt0
+        # again, and one orphan far from both
+        gt_roots = jnp.asarray([[0.0, 0, 0], [2000.0, 0, 0]])
+        centers = jnp.asarray([[10.0, 0, 0], [40.0, 0, 0], [5000.0, 0, 0]])
+        gt_mask = jnp.ones(2, bool)
+        cand2gt, valid = voxelpose.match_proposals_to_gt(centers, gt_roots, gt_mask)
+        np.testing.assert_array_equal(np.asarray(cand2gt)[:2], [0, 0])
+        np.testing.assert_array_equal(np.asarray(valid), [True, True, False])
+
+        gt = jnp.stack([jnp.ones((14, 3)) * 2.0, jnp.ones((14, 3))])
         pred = jnp.zeros((3, 14, 3))
-        gt = jnp.stack([jnp.ones((14, 3)) * 2.0, jnp.ones((14, 3))])  # patient row has larger error
-        mask = jnp.ones(2)
-        base = float(voxelpose.voxelpose_loss(pred, None, gt, mask))
-        weighted = float(voxelpose.voxelpose_loss(pred, None, gt, mask, patient_ids=jnp.array([True, False])))
-        # patient error (2.0) weighted x4: (4*2 + 1)/5 = 1.8 > (2+1)/2 = 1.5
-        assert weighted == pytest.approx(1.8)
+        vis = jnp.ones((2, 14))
+        # both valid proposals matched gt0 (|err| = 2): loss = 2
+        loss = float(voxelpose.voxelpose_loss(pred, centers, gt_roots, gt, vis, gt_mask))
+        assert loss == pytest.approx(2.0)
+
+    def test_loss_patient_weighting_is_slot_indexed(self):
+        """The reference multiplies by PATIENT_WEIGHT when the PROPOSAL
+        slot's patient flag is set (is_patient_masks[i, n]) — quirk kept."""
+        gt_roots = jnp.asarray([[0.0, 0, 0], [2000.0, 0, 0]])
+        centers = jnp.asarray([[0.0, 0, 0], [2000.0, 0, 0]])
+        gt_mask = jnp.ones(2, bool)
+        gt = jnp.stack([jnp.ones((14, 3)) * 2.0, jnp.ones((14, 3))])
+        pred = jnp.zeros((2, 14, 3))
+        vis = jnp.ones((2, 14))
+        base = float(voxelpose.voxelpose_loss(pred, centers, gt_roots, gt, vis, gt_mask))
+        weighted = float(voxelpose.voxelpose_loss(
+            pred, centers, gt_roots, gt, vis, gt_mask,
+            patient_slot_mask=jnp.array([True, False])))
+        # slot 0 (err 2) weighted x4 inside the per-candidate mean:
+        # (4*2 + 1)/2 = 4.5 ; base (2+1)/2 = 1.5
         assert base == pytest.approx(1.5)
+        assert weighted == pytest.approx(4.5)
+
+    def test_loss_visibility_masks_joints(self):
+        gt_roots = jnp.asarray([[0.0, 0, 0]])
+        centers = jnp.asarray([[0.0, 0, 0]])
+        gt_mask = jnp.ones(1, bool)
+        gt = jnp.ones((1, 14, 3)) * 2.0
+        pred = jnp.zeros((1, 14, 3))
+        vis = jnp.ones((1, 14)).at[0, 7:].set(0.0)  # half the joints invisible
+        loss = float(voxelpose.voxelpose_loss(pred, centers, gt_roots, gt, vis, gt_mask))
+        assert loss == pytest.approx(1.0)  # mean over ALL joints of vis*|err|
 
 
 class TestGroupFree:

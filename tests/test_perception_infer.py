@@ -10,11 +10,14 @@ from or4d_tpu.pipeline import perception_infer as pi
 
 class TestFormats:
     def test_2d_pose_npz_roundtrip(self, tmp_path):
-        data = {"1_000001_3": np.random.default_rng(0).random((2, 14, 3))}
+        """Reference dump format: ONE pickled dict under arr_0, read via
+        np.load(...)['arr_0'].item() (voxelpose OR_4D.py:113-115)."""
+        key = "1_camera03_colorimage-000123.jpg"
+        data = {key: np.random.default_rng(0).random((2, 14, 3))}
         p = tmp_path / "pred_or_4d_hrnet_coco_val.npz"
         pi.write_2d_pose_npz(p, data)
-        loaded = np.load(p)
-        np.testing.assert_allclose(loaded["1_000001_3"], data["1_000001_3"])
+        loaded = np.load(p, allow_pickle=True)["arr_0"].item()
+        np.testing.assert_allclose(loaded[key], data[key])
 
     def test_boxes_npz_format(self, tmp_path):
         model = groupfree.GroupFreeDetector(num_proposal=8, num_decoder_layers=1, width=1)

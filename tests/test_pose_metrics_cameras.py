@@ -113,7 +113,10 @@ class TestCamLoader:
         assert infos["camera03"]["width"] == 2048
         vp = cam_infos_to_voxelpose(infos)
         assert vp["R"].shape == (6, 3, 3) and vp["T"].shape == (6, 3)
-        np.testing.assert_allclose(vp["T"][1], [2, 2, 3])
+        # T carries the x500 OR_4D export scale; R carries the y/z flip
+        np.testing.assert_allclose(vp["T"][1], [1000, 1000, 1500])
+        ext = np.asarray(infos["camera02"]["extrinsics"], np.float64)
+        np.testing.assert_allclose(vp["R"][1], np.diag([1.0, -1.0, -1.0]) @ ext[:3, :3].T, atol=1e-12)
 
 
 class TestFlag:
