@@ -119,3 +119,57 @@ class RelationMetricAccumulator:
     @property
     def macro_f1(self) -> float:
         return self.overall_report().macro_f1
+
+    def confusion_matrix(self) -> np.ndarray:
+        """(R, R) counts, rows = true label, cols = predicted (the sklearn
+        layout the reference's utils/plot_confusion_matrix.py consumes)."""
+        R = len(self.relation_names)
+        cm = np.zeros((R, R), np.int64)
+        for t in self.take_gts:
+            for g, p in zip(self.take_gts[t], self.take_preds[t]):
+                if 0 <= g < R and 0 <= p < R:
+                    cm[g, p] += 1
+        return cm
+
+
+def plot_confusion_matrix(
+    cm: np.ndarray,
+    target_names: list[str],
+    title: str = "Confusion matrix",
+    normalize: bool = True,
+    pth_out: str = "",
+):
+    """Render a confusion matrix to PNG (reference
+    scene_graph_prediction/utils/plot_confusion_matrix.py semantics:
+    row-normalized proportions, accuracy/misclass footer, per-cell text)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import itertools
+
+    import matplotlib.pyplot as plt
+
+    cm = np.asarray(cm, np.float64)
+    accuracy = np.trace(cm) / max(float(cm.sum()), 1.0)
+    if normalize:
+        cm = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1e-12)
+        cm = np.nan_to_num(cm, nan=0)
+    fig = plt.figure(figsize=(8, 6))
+    plt.imshow(cm, interpolation="nearest", cmap=plt.get_cmap("jet"))
+    plt.title(title)
+    plt.colorbar()
+    ticks = np.arange(len(target_names))
+    plt.xticks(ticks, target_names, rotation=90)
+    plt.yticks(ticks, target_names)
+    thresh = cm.max() / 1.5 if normalize else cm.max() / 2
+    for i, j in itertools.product(range(cm.shape[0]), range(cm.shape[1])):
+        txt = f"{cm[i, j]:0.4f}" if normalize else f"{int(cm[i, j]):,}"
+        plt.text(j, i, txt, horizontalalignment="center",
+                 color="white" if cm[i, j] > thresh else "black")
+    fig.tight_layout()
+    plt.ylabel("True label")
+    plt.xlabel(f"Predicted label\naccuracy={accuracy:0.4f}; misclass={1 - accuracy:0.4f}")
+    if pth_out:
+        plt.savefig(pth_out)
+    plt.close(fig)
+    return fig
