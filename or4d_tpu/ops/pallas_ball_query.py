@@ -431,7 +431,16 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
     output max_k relu(a1*(relu(a0*(val_k - Bq) + b0) @ W1) + b1) directly —
     grouped tensors never leave VMEM. First-hit-fill padding is dropped: the
     padded slots duplicate slot 1's value, which cannot change the max, so
-    the result equals the unfused eval path exactly (up to reassociation)."""
+    the result equals the unfused eval path exactly (up to reassociation).
+
+    Chunk gating: first-hit semantics means every slot's hit lives in the
+    scan-order PREFIX up to the chunk where the query's cumulative hit count
+    reaches nsample. The prefix pass yields that chunk per query for free;
+    the expensive per-slot compare+selection work runs in ONE dynamic
+    fori_loop bounded by the TILE's worst query (callers density-sort
+    queries so tiles are homogeneous and stragglers share the last tiles).
+    Selections accumulate into per-slot f32 tiles — each slot's one-hot row
+    lives in exactly one chunk, so the sum is the exact selected row."""
     S = len(scales)
 
     def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *rest):
@@ -444,7 +453,8 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
         b1_refs = rest[6 * S : 7 * S]
         out_refs = rest[7 * S : 8 * S]
         d2_ref = rest[8 * S]     # VMEM scratch (nch, TM, CHUNK) f32
-        rank_ref = rest[8 * S + 1]  # VMEM scratch (TM, Np) f32, flat lanes
+        rank_ref = rest[8 * S + 1]  # VMEM scratch (nch, TM, CHUNK) f32, chunk-major
+        acc_refs = rest[8 * S + 2 : 8 * S + 2 + S]  # (ns_s, TM, C1_s) f32
 
         qx = qx_ref[0].reshape(tm, 1)
         qy = qy_ref[0].reshape(tm, 1)
@@ -461,7 +471,7 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
 
         for s, (radius, nsample) in enumerate(scales):
             A_ref = A_refs[s]  # (1, nch, CHUNK, C1)
-            C1 = A_ref.shape[-1]
+            acc_ref = acc_refs[s]
             A_dtype = A_ref.dtype
             Bq = bq_refs[s][0].astype(jnp.float32)  # (TM, C1)
             a0 = a0_refs[s][0].astype(jnp.float32)  # (1, C1)
@@ -473,9 +483,8 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
             r2 = radius * radius
             # chunk-local prefixes via MXU triangular matmuls (0/1 bf16
             # inputs, f32 accumulation — exact); the tiny cross-chunk scan
-            # turns them into global hit ranks, written as one flat masked
-            # rank plane (0 at non-hits) so every slot costs exactly ONE
-            # compare + ONE selection matmul
+            # turns them into global hit ranks, stored chunk-major (0 at
+            # non-hits) so the gated loop can index chunks dynamically
             tots = []
             locs = []
             for ch in range(nch):
@@ -495,19 +504,37 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
                 shift *= 2
             excl = bnd - tot  # exclusive chunk offsets
             for ch, (m, loc) in enumerate(locs):  # global rank at hits, 0 at non-hits
-                rank_ref[:, ch * _CHUNK : (ch + 1) * _CHUNK] = jnp.where(
-                    m, loc + excl[:, ch : ch + 1], 0.0
-                )
+                rank_ref[ch] = jnp.where(m, loc + excl[:, ch : ch + 1], 0.0)
             total = bnd[:, nch - 1 : nch]  # (TM, 1)
+
+            # per-query needed chunk count: enough chunks to cover the
+            # min(nsample, total)-th hit — stragglers (total < nsample) only
+            # need up to their LAST hit, everyone else up to the chunk where
+            # the cumulative count reaches nsample. Tile bound is the max.
+            thr = jnp.minimum(total, float(nsample))  # (TM, 1)
+            need = jnp.sum((bnd < thr).astype(jnp.int32), axis=1) + 1
+            bound = jnp.minimum(jnp.max(need), nch)
+
+            for k in range(nsample):
+                acc_ref[k] = jnp.zeros((tm, acc_ref.shape[-1]), jnp.float32)
+
+            def chunk_body(ch, carry):
+                rank = rank_ref[ch]
+                a_ch = A_ref[0, ch]  # (CHUNK, C1)
+                for k in range(1, nsample + 1):
+                    sel = (rank == float(k)).astype(A_dtype)
+                    acc_ref[k - 1] += jax.lax.dot_general(
+                        sel, a_ch, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return carry
+
+            jax.lax.fori_loop(0, bound, chunk_body, 0)
 
             best = None
             first = None
             for k in range(1, nsample + 1):
-                sel = (rank_ref[:, :] == float(k)).astype(A_dtype)
-                val = jax.lax.dot_general(
-                    sel, A_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                val = acc_ref[k - 1]
                 # first-hit fill on the narrow (TM, C1) tile so padded slots
                 # duplicate slot 1 (never changing the max), exactly like the
                 # unfused grouped tensor
@@ -524,13 +551,14 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def ball_query_group_mlp_pallas(
     scales: tuple[tuple[float, int], ...],
     xyz: jax.Array,
     new_xyz: jax.Array,
     scale_params: tuple,
     interpret: bool = False,
+    query_tile: int | None = None,
 ) -> tuple[jax.Array, ...]:
     """Inference-only fully fused SA stage (all scales in one kernel).
 
@@ -542,14 +570,41 @@ def ball_query_group_mlp_pallas(
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     Np = _round_up(N, _CHUNK)  # chunked MXU prefix wants whole chunks
-    # large query tiles reuse the streamed A operand across more MXU rows
-    # (measured -10% at 512 vs 128 on SA1 shapes); clamped to M so small
-    # stages (SA2: M=128) pay no padding
-    tm = min(512, _round_up(M, 128))
+    # Tile-size trade-off: large query tiles reuse the streamed A operand
+    # across more MXU rows (-10% at 512 vs 128), while the chunk gate is
+    # bounded by the TILE's worst query — smaller sorted tiles quarantine
+    # straggler queries. Measured on-chip at bench shapes (640x512x8000):
+    # 512 -> 263 ms, 256 sorted -> 282, 128 sorted -> 286: FPS centroids put
+    # 30-58% of queries below nsample hits (hits spread across scan order),
+    # so sorted tiles still bound at nch and the A-reuse loss wins. The gate
+    # pays off in dense regimes (r=.9: 71 ms vs r=.1: 119 ms, same shapes).
+    tm = query_tile or min(512, _round_up(M, 128))
     Mp = _round_up(M, tm)
     G = Mp // tm
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
+
+    # density sort: the kernel's chunk gating is bounded by each TILE's
+    # worst query, so order queries by estimated support density (hit count
+    # at the smallest radius against a strided subsample — ~3 orders of
+    # magnitude cheaper than the real distance pass). Descending hits ==
+    # ascending chunks-needed; straggler queries share the last tiles.
+    # The sort is a pure permutation, inverted on the outputs — results are
+    # bit-identical to the unsorted kernel (selection is exact).
+    sort = G > 1
+    if sort:
+        stride = max(1, N // _CHUNK)
+        sub = xyz[:, ::stride][:, :_CHUNK]
+        d2s = jnp.sum((new_xyz[:, :, None, :] - sub[:, None, :, :]) ** 2, axis=-1)
+        rmin2 = min(r for r, _ in scales) ** 2
+        hits = jnp.sum(d2s < rmin2, axis=-1)  # (B, M)
+        order = jnp.argsort(-hits, axis=1)
+        inv_order = jnp.argsort(order, axis=1)
+        new_xyz = jnp.take_along_axis(new_xyz, order[..., None], axis=1)
+        scale_params = tuple(
+            (A, jnp.take_along_axis(Bq, order[..., None], axis=1), a0, b0, W1, a1, b1)
+            for A, Bq, a0, b0, W1, a1, b1 in scale_params
+        )
 
     # poison coords on padded support lanes: their d2 is astronomically
     # large, so the kernel needs no lane-index masking at all. Chunk-major
@@ -564,9 +619,9 @@ def ball_query_group_mlp_pallas(
 
     A_in, bq_in, a0_in, b0_in, w1_in, a1_in, b1_in = [], [], [], [], [], [], []
     for A, Bq, a0, b0, W1, a1, b1 in scale_params:
-        # chunk-major view (free reshape) so the kernel's dynamic chunk loop
-        # indexes a non-lane dimension
-        A_in.append(jnp.pad(A, ((0, 0), (0, Np - N), (0, 0))))
+        # chunk-major layout (free reshape) so the kernel's gated dynamic
+        # chunk loop indexes a leading (non-lane) dimension
+        A_in.append(jnp.pad(A, ((0, 0), (0, Np - N), (0, 0))).reshape(B, nch, _CHUNK, -1))
         bq_in.append(
             jnp.pad(Bq.astype(jnp.float32), ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, -1)
         )
@@ -580,7 +635,7 @@ def ball_query_group_mlp_pallas(
     qspec = pl.BlockSpec((1, 1, tm), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, nch, 1, _CHUNK), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     A_specs = [
-        pl.BlockSpec((1, Np, A.shape[-1]), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, nch, _CHUNK, A.shape[-1]), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
         for A in A_in
     ]
     bq_specs = [
@@ -608,14 +663,18 @@ def ball_query_group_mlp_pallas(
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((nch, tm, _CHUNK), jnp.float32),
-            pltpu.VMEM((tm, Np), jnp.float32),
+            pltpu.VMEM((nch, tm, _CHUNK), jnp.float32),
+            *[pltpu.VMEM((ns, tm, A.shape[-1]), jnp.float32) for (_r, ns), A in zip(scales, A_in)],
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*qry, *sup, *A_in, *bq_in, *a0_in, *b0_in, *w1_in, *a1_in, *b1_in)
     if not isinstance(outs, (tuple, list)):
         outs = (outs,)
-    return tuple(o.reshape(B, Mp, -1)[:, :M] for o in outs)
+    outs = tuple(o.reshape(B, Mp, -1)[:, :M] for o in outs)
+    if sort:
+        outs = tuple(jnp.take_along_axis(o, inv_order[..., None], axis=1) for o in outs)
+    return outs
 
 
 def ball_query_multiscale(scales, xyz: jax.Array, new_xyz: jax.Array) -> tuple[jax.Array, ...]:

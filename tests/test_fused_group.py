@@ -143,3 +143,31 @@ class TestFusedGroupMLP:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
         for a, b in zip(jax.tree_util.tree_leaves(want_stats), jax.tree_util.tree_leaves(got_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+class TestFusedGroupMLPSorted:
+    """Multi-tile shapes trigger the density sort + per-tile chunk gating;
+    the inverse permutation must make results identical to the index path."""
+
+    def test_parity_with_sort_and_gating(self):
+        from or4d_tpu.ops.pallas_ball_query import ball_query_group_mlp_pallas
+        from tests.test_fused_group import TestFusedGroupMLP, _setup
+
+        B, N, M, C1, C2 = 1, 1100, 640, 32, 48  # M > tm(512) -> G=2, sorted
+        xyz, new_xyz, A1 = _setup(11, B, N, M, C1)
+        scales = ((0.15, 4), (0.3, 6))
+        A2 = _setup(12, B, N, M, C1)[2]
+        helper = TestFusedGroupMLP()
+        p1 = helper._params(13, C1, C2, M, B, xyz, new_xyz, A1)
+        p2 = helper._params(14, C1, 32, M, B, xyz, new_xyz, A2)
+        outs = ball_query_group_mlp_pallas(scales, xyz, new_xyz, (p1, p2), True)
+
+        for s, ((r, ns), p) in enumerate(zip(scales, (p1, p2))):
+            A, Bq, a0, b0, W1, a1, b1 = p
+            idx = np.asarray(ball_query(r, ns, xyz, new_xyz))
+            g = np.take_along_axis(np.asarray(A)[:, :, None, :], idx[..., None], axis=1)
+            h = np.maximum((g - np.asarray(Bq)[:, :, None, :]) * np.asarray(a0) + np.asarray(b0), 0)
+            hw = h @ np.asarray(W1)
+            o = np.maximum(hw * np.asarray(a1) + np.asarray(b1), 0)
+            want = o.max(axis=2)
+            np.testing.assert_allclose(np.asarray(outs[s]), want, rtol=1e-4, atol=1e-4)
