@@ -14,6 +14,7 @@ i.e. vs_baseline >= 10.
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -91,6 +92,7 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     scenes_per_sec = S / dt
+    print("per-iter ms:", [round(t * 1e3, 1) for t in times], file=sys.stderr)
 
     print(
         json.dumps(

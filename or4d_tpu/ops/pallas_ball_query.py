@@ -462,7 +462,10 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
         nch = d2_ref.shape[0]
         tri = _tri_inclusive(jnp.bfloat16)
         # chunk-major distance tiles; padded support lanes carry poison
-        # coords (wrapper), so no lane-index masking is needed anywhere
+        # coords (wrapper), so no lane-index masking is needed anywhere.
+        # (A norm-expansion variant with the 3-wide cross term on the MXU
+        # at HIGHEST precision measured SLOWER: 284 ms vs 263 at bench
+        # shapes — the tiny-K 3-pass f32 matmul is overhead-bound.)
         for ch in range(nch):
             dx = qx - x_ref[0, ch]
             dy = qy - y_ref[0, ch]
@@ -518,6 +521,9 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
             for k in range(nsample):
                 acc_ref[k] = jnp.zeros((tm, acc_ref.shape[-1]), jnp.float32)
 
+            # per-slot compare + dot per chunk: measured FASTER than fusing
+            # the ns selections into one (ns*TM, CHUNK) matmul (410 ms vs
+            # 263 at bench shapes — the wide operand breaks Mosaic's tiling)
             def chunk_body(ch, carry):
                 rank = rank_ref[ch]
                 a_ch = A_ref[0, ch]  # (CHUNK, C1)
