@@ -156,7 +156,7 @@ def _read_pcd_numpy(path: str) -> np.ndarray:
         dtype = np.dtype([(name, np_types[(t, s)]) for name, t, s in zip(fields, types, sizes)])
         if mode == "ascii":
             rows = np.loadtxt(f, max_rows=n)
-            rec = np.core.records.fromarrays(rows.T, dtype=dtype) if rows.ndim == 2 else rows.view(dtype)
+            rec = np.rec.fromarrays(rows.T, dtype=dtype) if rows.ndim == 2 else rows.view(dtype)
         elif mode == "binary":
             rec = np.frombuffer(f.read(dtype.itemsize * n), dtype=dtype, count=n)
         else:
@@ -214,7 +214,7 @@ def read_ply(path: str | Path) -> np.ndarray:
         dtype = np.dtype([(name, "<" + type_map[typ]) for name, typ in props])
         if fmt == "ascii":
             rows = np.loadtxt(f, max_rows=n, ndmin=2)
-            rec = np.core.records.fromarrays(rows.T, dtype=dtype)
+            rec = np.rec.fromarrays(rows.T, dtype=dtype)
         elif fmt == "binary_little_endian":
             rec = np.frombuffer(f.read(dtype.itemsize * n), dtype=dtype, count=n)
         else:

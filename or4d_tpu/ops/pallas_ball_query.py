@@ -426,7 +426,7 @@ ball_query_group_pallas.defvjp(_bqg_fwd, _bqg_bwd)
 # inference-fused: ball query + grouping + folded-BN MLP + slot maxpool
 # ---------------------------------------------------------------------------
 
-def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, tm: int):
+def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, tm: int, gate_chunks: bool = False):
     """Per scale, consume (A, Bq, a0, b0, W1, a1, b1) and emit the SA scale
     output max_k relu(a1*(relu(a0*(val_k - Bq) + b0) @ W1) + b1) directly —
     grouped tensors never leave VMEM. First-hit-fill padding is dropped: the
@@ -510,37 +510,55 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
                 rank_ref[ch] = jnp.where(m, loc + excl[:, ch : ch + 1], 0.0)
             total = bnd[:, nch - 1 : nch]  # (TM, 1)
 
-            # per-query needed chunk count: enough chunks to cover the
-            # min(nsample, total)-th hit — stragglers (total < nsample) only
-            # need up to their LAST hit, everyone else up to the chunk where
-            # the cumulative count reaches nsample. Tile bound is the max.
-            thr = jnp.minimum(total, float(nsample))  # (TM, 1)
-            need = jnp.sum((bnd < thr).astype(jnp.int32), axis=1) + 1
-            bound = jnp.minimum(jnp.max(need), nch)
-
-            for k in range(nsample):
-                acc_ref[k] = jnp.zeros((tm, acc_ref.shape[-1]), jnp.float32)
-
             # per-slot compare + dot per chunk: measured FASTER than fusing
             # the ns selections into one (ns*TM, CHUNK) matmul (410 ms vs
             # 263 at bench shapes — the wide operand breaks Mosaic's tiling)
-            def chunk_body(ch, carry):
-                rank = rank_ref[ch]
-                a_ch = A_ref[0, ch]  # (CHUNK, C1)
-                for k in range(1, nsample + 1):
-                    sel = (rank == float(k)).astype(A_dtype)
-                    acc_ref[k - 1] += jax.lax.dot_general(
-                        sel, a_ch, dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                return carry
+            if gate_chunks:
+                # per-query needed chunk count: enough chunks to cover the
+                # min(nsample, total)-th hit — stragglers (total < nsample)
+                # only need up to their LAST hit, everyone else up to the
+                # chunk where the cumulative count reaches nsample; the
+                # tile bound is the max.
+                thr = jnp.minimum(total, float(nsample))  # (TM, 1)
+                need = jnp.sum((bnd < thr).astype(jnp.int32), axis=1) + 1
+                bound = jnp.minimum(jnp.max(need), nch)
 
-            jax.lax.fori_loop(0, bound, chunk_body, 0)
+                for k in range(nsample):
+                    acc_ref[k] = jnp.zeros((tm, acc_ref.shape[-1]), jnp.float32)
+
+                def chunk_body(ch, carry):
+                    rank = rank_ref[ch]
+                    a_ch = A_ref[0, ch]  # (CHUNK, C1)
+                    for k in range(1, nsample + 1):
+                        sel = (rank == float(k)).astype(A_dtype)
+                        acc_ref[k - 1] += jax.lax.dot_general(
+                            sel, a_ch, dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    return carry
+
+                jax.lax.fori_loop(0, bound, chunk_body, 0)
+                vals = [acc_ref[k] for k in range(nsample)]
+            else:
+                # static unroll, register accumulation — no scratch RMW
+                # traffic; this is the fastest form when tile bounds pin at
+                # nch anyway (paper radii: 30-58% straggler queries)
+                vals = []
+                for k in range(1, nsample + 1):
+                    acc = None
+                    for ch in range(nch):
+                        sel = (rank_ref[ch] == float(k)).astype(A_dtype)
+                        d = jax.lax.dot_general(
+                            sel, A_ref[0, ch], dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc = d if acc is None else acc + d
+                    vals.append(acc)
 
             best = None
             first = None
             for k in range(1, nsample + 1):
-                val = acc_ref[k - 1]
+                val = vals[k - 1]
                 # first-hit fill on the narrow (TM, C1) tile so padded slots
                 # duplicate slot 1 (never changing the max), exactly like the
                 # unfused grouped tensor
@@ -557,7 +575,7 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def ball_query_group_mlp_pallas(
     scales: tuple[tuple[float, int], ...],
     xyz: jax.Array,
@@ -565,6 +583,7 @@ def ball_query_group_mlp_pallas(
     scale_params: tuple,
     interpret: bool = False,
     query_tile: int | None = None,
+    gate_chunks: bool = False,
 ) -> tuple[jax.Array, ...]:
     """Inference-only fully fused SA stage (all scales in one kernel).
 
@@ -597,7 +616,7 @@ def ball_query_group_mlp_pallas(
     # ascending chunks-needed; straggler queries share the last tiles.
     # The sort is a pure permutation, inverted on the outputs — results are
     # bit-identical to the unsorted kernel (selection is exact).
-    sort = G > 1
+    sort = gate_chunks and G > 1
     if sort:
         stride = max(1, N // _CHUNK)
         sub = xyz[:, ::stride][:, :_CHUNK]
@@ -658,7 +677,7 @@ def ball_query_group_mlp_pallas(
     )
 
     outs = pl.pallas_call(
-        _make_group_mlp_kernel(scales, N, tm),
+        _make_group_mlp_kernel(scales, N, tm, gate_chunks),
         grid=grid,
         in_specs=[qspec, qspec, qspec, sspec, sspec, sspec,
                   *A_specs, *bq_specs,

@@ -51,10 +51,10 @@ def main():
     p2 = params(4, C2)
     jax.block_until_ready((xyz, q, p1, p2))
 
-    for tm in (512, 256, 128):
+    for tm, gate in ((512, False), (512, True), (256, True), (128, True)):
         timeit(
-            lambda x, nq: ball_query_group_mlp_pallas(scales, x, nq, (p1, p2), False, tm),
-            xyz, q, tag=f"gated fused eval stage tm={tm} (sort={tm < M})",
+            lambda x, nq: ball_query_group_mlp_pallas(scales, x, nq, (p1, p2), False, tm, gate),
+            xyz, q, tag=f"fused eval stage tm={tm} gate={gate}",
         )
 
 
@@ -79,8 +79,8 @@ def diag():
     jax.block_until_ready((xyz, q, p))
     for r in (0.9, 0.1):
         timeit(
-            lambda x, nq: ball_query_group_mlp_pallas(((r, 16),), x, nq, (p,), False, 512),
-            xyz, q, tag=f"single-scale r={r} ns=16 tm=512",
+            lambda x, nq: ball_query_group_mlp_pallas(((r, 16),), x, nq, (p,), False, 512, True),
+            xyz, q, tag=f"single-scale r={r} ns=16 tm=512 gated",
         )
 
 

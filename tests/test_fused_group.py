@@ -160,7 +160,8 @@ class TestFusedGroupMLPSorted:
         helper = TestFusedGroupMLP()
         p1 = helper._params(13, C1, C2, M, B, xyz, new_xyz, A1)
         p2 = helper._params(14, C1, 32, M, B, xyz, new_xyz, A2)
-        outs = ball_query_group_mlp_pallas(scales, xyz, new_xyz, (p1, p2), True)
+        # gate_chunks=True + small tiles: density sort + dynamic chunk loop
+        outs = ball_query_group_mlp_pallas(scales, xyz, new_xyz, (p1, p2), True, 128, True)
 
         for s, ((r, ns), p) in enumerate(zip(scales, (p1, p2))):
             A, Bq, a0, b0, W1, a1, b1 = p
