@@ -34,7 +34,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fps_kernel(x_ref, y_ref, z_ref, out_ref, npoint: int):
-    """8 clouds per program as (8, N) tiles riding the f32 sublanes.
+    """ROWS clouds per program as (ROWS, N) tiles riding the f32 sublanes.
 
     Pass-minimized step: validity is folded into the initial min-distance
     (invalid lanes start at -1 and, since squared distances are >= 0, can
@@ -42,7 +42,7 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, npoint: int):
     vector->scalar crossings), and coordinates of the selection come from one
     one-hot mask reused across the three reductions.
     """
-    x = x_ref[0]  # (8, N)
+    x = x_ref[0]  # (ROWS, N)
     y = y_ref[0]
     z = z_ref[0]
     n = x.shape[1]
@@ -80,28 +80,35 @@ def fps_pallas_supported(shape: tuple[int, ...], npoint: int) -> bool:
     return jax.default_backend() == "tpu" and npoint >= 1
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def furthest_point_sample_pallas(xyz: jax.Array, npoint: int, interpret: bool = False) -> jax.Array:
-    """(B, N, 3) float -> (B, npoint) int32 FPS indices via the fused kernel."""
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def furthest_point_sample_pallas(xyz: jax.Array, npoint: int, interpret: bool = False, rows: int = 16) -> jax.Array:
+    """(B, N, 3) float -> (B, npoint) int32 FPS indices via the fused kernel.
+
+    ``rows`` clouds share one grid program: each of the npoint sequential
+    steps is overhead-bound (VPU dispatch + cross-lane reductions), so
+    batching sublane rows amortizes it. On-chip A/B at 640x8000->512:
+    rows=8 139.6 ms, 16 64.9, 32 85.3, 64 66.8 — 16 wins and is the
+    default (8 was the original layout)."""
     B, N, _ = xyz.shape
+    rows = max(8, min(rows, _round_up(max(B, 1), 8)))
     Np = _round_up(max(N, 1), _LANES)
-    Bp = _round_up(max(B, 1), 8)
-    G = Bp // 8
+    Bp = _round_up(max(B, 1), rows)
+    G = Bp // rows
     xyz = xyz.astype(jnp.float32)
     pad = ((0, Bp - B), (0, Np - N))
-    # (G, 8, Np) tiles per coordinate — 8 clouds ride the f32 sublanes
-    x = jnp.pad(xyz[..., 0], pad).reshape(G, 8, Np)
-    y = jnp.pad(xyz[..., 1], pad).reshape(G, 8, Np)
-    z = jnp.pad(xyz[..., 2], pad).reshape(G, 8, Np)
+    # (G, rows, Np) tiles per coordinate — rows clouds ride the f32 sublanes
+    x = jnp.pad(xyz[..., 0], pad).reshape(G, rows, Np)
+    y = jnp.pad(xyz[..., 1], pad).reshape(G, rows, Np)
+    z = jnp.pad(xyz[..., 2], pad).reshape(G, rows, Np)
 
     grid = (G,)
-    spec = pl.BlockSpec((1, 8, Np), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, rows, Np), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fps_kernel, npoint=npoint),
         grid=grid,
         in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec((1, 8, npoint), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, 8, npoint), jnp.int32),
+        out_specs=pl.BlockSpec((1, rows, npoint), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, rows, npoint), jnp.int32),
         interpret=interpret,
     )(x, y, z)
     return out.reshape(Bp, npoint)[:B]

@@ -63,6 +63,57 @@ def pcp(pred: np.ndarray, gt: np.ndarray, threshold: float = 0.5) -> float:
     return float(correct / total) if total else float("nan")
 
 
+def voxelpose_evaluate(
+    preds: list[np.ndarray],
+    gts: list[list[np.ndarray]],
+    recall_threshold: float = 500.0,
+    alpha: float = 0.5,
+    max_actors: int = 10,
+):
+    """The reference OR_4D.evaluate, faithfully (OR_4D.py:340-380):
+
+      * per GT person, the NEAREST prediction by MPJPE (no unique
+        assignment); a GT counts as matched when min MPJPE < threshold;
+      * PCP per limb uses the MEAN of the two endpoint errors vs
+        alpha * limb length;
+      * correct/total parts accumulate per PERSON SLOT INDEX across frames
+        (actor_pcp), and avg_pcp averages the first THREE actor slots —
+        reference quirks kept.
+
+    ``preds[i]``: (P, J, 3) predicted poses for frame i (already filtered to
+    valid proposals); ``gts[i]``: list of (J, 3) GT poses.
+    Returns (actor_pcp (max_actors,), avg_pcp, None, recall).
+    """
+    total_gt = 0
+    match_gt = 0
+    correct_parts = np.zeros(max_actors)
+    total_parts = np.zeros(max_actors)
+    for pred, frame_gts in zip(preds, gts):
+        pred = np.asarray(pred, np.float64).reshape(-1, 14, 3) if len(pred) else np.zeros((0, 14, 3))
+        for person, gt in enumerate(frame_gts):
+            gt = np.asarray(gt, np.float64)
+            if gt.size == 0:
+                continue
+            if len(pred) == 0:
+                total_gt += 1
+                continue
+            mpjpes = np.mean(np.sqrt(np.sum((gt[None] - pred) ** 2, axis=-1)), axis=-1)
+            min_n = int(np.argmin(mpjpes))
+            if float(np.min(mpjpes)) < recall_threshold:
+                match_gt += 1
+            total_gt += 1
+            for a, b in LIMBS:
+                total_parts[person] += 1
+                error_s = np.linalg.norm(pred[min_n, a] - gt[a])
+                error_e = np.linalg.norm(pred[min_n, b] - gt[b])
+                limb_length = np.linalg.norm(gt[a] - gt[b])
+                if (error_s + error_e) / 2.0 <= alpha * limb_length:
+                    correct_parts[person] += 1
+    actor_pcp = correct_parts / (total_parts + 1e-8)
+    avg_pcp = float(np.mean(actor_pcp[:3]))
+    return actor_pcp, avg_pcp, None, match_gt / (total_gt + 1e-8)
+
+
 def recall_at(pred: np.ndarray, gt: np.ndarray, threshold_mm: float = 500.0) -> float:
     """Fraction of GT people whose matched prediction has root error below
     the threshold (the proposal-recall statistic)."""

@@ -86,3 +86,19 @@ def diag():
 
 if __name__ == "__main__" and "--diag" in sys.argv:
     diag()
+
+
+def fps_ab():
+    from or4d_tpu.ops.pallas_fps import furthest_point_sample_pallas
+
+    xyz = jax.random.normal(jax.random.key(0), (640, 8000, 3), jnp.float32) * 0.4
+    jax.block_until_ready(xyz)
+    for rows in (8, 16, 32, 64):
+        timeit(
+            lambda x: furthest_point_sample_pallas(x, 512, False, rows).sum(),
+            xyz, tag=f"FPS 640x8000 -> 512, rows={rows}",
+        )
+
+
+if __name__ == "__main__" and "--fps" in sys.argv:
+    fps_ab()

@@ -134,3 +134,54 @@ class TestFlag:
             for a, b in zip(jax.tree_util.tree_leaves(state["params"]), jax.tree_util.tree_leaves(new_state["params"]))
         )
         assert changed
+
+
+class TestVoxelposeEvaluate:
+    """OR_4D.evaluate parity: nearest-by-MPJPE matching, mean-endpoint PCP,
+    per-actor-slot accumulation, first-3 average."""
+
+    def test_perfect_predictions(self):
+        from or4d_tpu.train.pose_metrics import voxelpose_evaluate
+
+        rng = np.random.default_rng(0)
+        gt = [rng.standard_normal((14, 3)) * 100 for _ in range(2)]
+        actor_pcp, avg_pcp, _, recall = voxelpose_evaluate([np.stack(gt)], [gt])
+        assert recall == pytest.approx(1.0, abs=1e-6)
+        np.testing.assert_allclose(actor_pcp[:2], 1.0, atol=1e-8)
+        assert avg_pcp == pytest.approx(2.0 / 3.0, rel=1e-6)  # slot 2 never seen
+
+    def test_nearest_not_unique_matching(self):
+        """Two GT people can share ONE prediction (per-GT argmin, unlike a
+        greedy unique assignment)."""
+        from or4d_tpu.train.pose_metrics import voxelpose_evaluate
+
+        g1 = np.zeros((14, 3))
+        g2 = np.zeros((14, 3)) + 100.0
+        pred = np.stack([g1 + 1.0])  # one prediction near g1
+        _, _, _, recall = voxelpose_evaluate([pred], [[g1, g2]])
+        assert recall == pytest.approx(1.0, abs=1e-6)  # both under 500mm MPJPE
+
+    def test_mean_endpoint_pcp_criterion(self):
+        """A limb counts when (e_s + e_e)/2 <= alpha * length — one endpoint
+        may exceed alpha*len if the other compensates (unlike both-below)."""
+        from or4d_tpu.config import LIMBS
+        from or4d_tpu.train.pose_metrics import voxelpose_evaluate
+
+        gt = np.zeros((14, 3))
+        # a straight vertical chain: joint j at z = j * 100 -> limb lengths 100..
+        gt[:, 2] = np.arange(14) * 100.0
+        pred = gt.copy()
+        a, b = LIMBS[0]
+        limb_len = np.linalg.norm(gt[a] - gt[b])
+        # endpoint a off by 0.8*len, b perfect: mean 0.4*len <= 0.5*len -> correct
+        pred[a, 0] += 0.8 * limb_len
+        actor_pcp, _, _, _ = voxelpose_evaluate([pred[None]], [[gt]])
+        # every limb touching joint a degrades but only by the mean rule
+        assert actor_pcp[0] > 0.9
+
+    def test_empty_predictions_count_gt(self):
+        from or4d_tpu.train.pose_metrics import voxelpose_evaluate
+
+        gt = [np.zeros((14, 3))]
+        _, _, _, recall = voxelpose_evaluate([np.zeros((0, 14, 3))], [gt])
+        assert recall == pytest.approx(0.0, abs=1e-6)
