@@ -32,27 +32,34 @@ def run_2d_inference_for_voxelpose(model, variables, dataset, out_path: str | Pa
     """Enumerate a HigherHRNetDataset's images (no augmentation), run
     HigherHRNet + the HeatmapParser, and dump the npz VoxelPose's db builder
     consumes (`pred_or_4d_hrnet_coco_{split}.npz`), keyed by the reference
-    identifier '{take}_{image_name}'."""
-    images_by_key = {}
+    identifier '{take}_{image_name}'. Images stream one at a time — a full
+    take is thousands of 512^2 frames, far too much to stage at once."""
+    import jax
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    preds: dict[str, np.ndarray] = {}
     for i, d in enumerate(dataset.image_dicts):
         sample = dataset.sample(i)
         key = f"{d['take_idx']}_{d['image_path'].name}"
-        images_by_key[key] = sample["image"]
-    preds = infer_2d_poses(model, variables, images_by_key, max_people=max_people)
+        preds.update(infer_2d_poses(model, variables, {key: sample["image"]},
+                                    max_people=max_people, fwd=fwd))
     write_2d_pose_npz(out_path, preds)
     return preds
 
 
-def infer_2d_poses(model, variables, images_by_key: dict[str, np.ndarray], max_people: int = 10) -> dict[str, np.ndarray]:
+def infer_2d_poses(model, variables, images_by_key: dict[str, np.ndarray], max_people: int = 10, fwd=None) -> dict[str, np.ndarray]:
     """Run HigherHRNet per camera image; group with the reference
-    HeatmapParser (Munkres matching + adjust + refine, core/group.py)."""
+    HeatmapParser (Munkres matching + adjust + refine, core/group.py).
+    Pass a pre-jitted ``fwd`` when calling repeatedly — a fresh lambda per
+    call would retrace every image."""
     import jax
     import jax.numpy as jnp
 
     from or4d_tpu.models.higherhrnet import aggregate_heatmaps
     from or4d_tpu.pipeline.ae_grouping import parse_heatmaps
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    if fwd is None:
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     out = {}
     for key, img in images_by_key.items():
         low, high = fwd(variables, jnp.asarray(img[None]))
