@@ -135,6 +135,9 @@ class SetAbstractionMSG(nn.Module):
     # together with kernel_interpret for running the kernels off-TPU.
     fused_mode: str = "auto"
     kernel_interpret: bool = False
+    # two-gate sub-tiling for the fused eval kernel (rows per gate group;
+    # 0 = static unroll). Exact — see ball_query_group_mlp_pallas.
+    eval_subtile: int = 32
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True):
@@ -168,7 +171,10 @@ class SetAbstractionMSG(nn.Module):
                 params = tuple(
                     (A, Bq, *m.fused_eval_params()) for (A, Bq), m in zip(pres, mlps)
                 )
-                outs = ball_query_group_mlp_pallas(scale_spec, xyz, new_xyz, params, self.kernel_interpret)
+                outs = ball_query_group_mlp_pallas(
+                    scale_spec, xyz, new_xyz, params, self.kernel_interpret,
+                    None, False, self.eval_subtile,
+                )
                 return new_xyz, jnp.concatenate(outs, axis=-1)
             # training: one merged kernel emits every scale's grouped
             # layer-1 features (shared distance tile), BN/ReLU + later

@@ -422,11 +422,144 @@ def _bqg_bwd(scales, interpret, res, gs):
 ball_query_group_pallas.defvjp(_bqg_fwd, _bqg_bwd)
 
 
+def _make_bounds_kernel(
+    scales: tuple[tuple[float, int], ...], nch: int, tm: int, rb: int, count_mode: str
+):
+    """Light pre-pass for the sub-tile-gated kernel: distances + per-chunk hit
+    counts only (no rank planes). Emits per query and scale: ``need``
+    (exclusive chunk bound covering the min(nsample,total)-th hit) and
+    ``total`` (hit count). Only the query ORDER consumes these (the main
+    kernel recomputes its gate bounds exactly), but the arithmetic is the
+    main kernel's f32 direct-diff, so the keys are exact anyway.
+
+    count_mode selects the per-chunk reduction: "lanesum" (VPU log-tree,
+    ~2.3us per (512,512) tile) or "matmul" (mask @ ones on the MXU).
+    An XLA norm-expansion formulation of this pass measured 58 ms at bench
+    shapes — the f32 cross-term HBM round-trip is its floor; VMEM-resident
+    Pallas is the right structure."""
+
+    def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *out_refs):
+        ones = jnp.ones((_CHUNK, 8), jnp.bfloat16)
+        for r in range(rb):
+            qx = qx_ref[r].reshape(tm, 1)
+            qy = qy_ref[r].reshape(tm, 1)
+            qz = qz_ref[r].reshape(tm, 1)
+            counts = [[] for _ in scales]  # per scale, per chunk (TM, 1)
+            for ch in range(nch):
+                dx = qx - x_ref[r, ch]
+                dy = qy - y_ref[r, ch]
+                dz = qz - z_ref[r, ch]
+                d2 = dx * dx + dy * dy + dz * dz  # (TM, CHUNK)
+                for s, (radius, _ns) in enumerate(scales):
+                    if count_mode == "matmul":
+                        m = (d2 < radius * radius).astype(jnp.bfloat16)
+                        c = jax.lax.dot_general(
+                            m, ones, dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )[:, 0:1]
+                    else:
+                        m = (d2 < radius * radius).astype(jnp.float32)
+                        c = jnp.sum(m, axis=1, keepdims=True)
+                    counts[s].append(c)
+            for s, (_radius, nsample) in enumerate(scales):
+                tot = jnp.concatenate(counts[s], axis=1)  # (TM, nch)
+                bnd = tot
+                colc = jax.lax.broadcasted_iota(jnp.int32, bnd.shape, 1)
+                shift = 1
+                while shift < nch:
+                    bnd = bnd + jnp.where(colc >= shift, pltpu.roll(bnd, shift, 1), 0.0)
+                    shift *= 2
+                total = bnd[:, nch - 1 : nch]  # (TM, 1)
+                thr = jnp.minimum(total, float(nsample))
+                need = jnp.sum((bnd < thr).astype(jnp.float32), axis=1, keepdims=True) + 1.0
+                out_refs[s][r] = jnp.concatenate([need, total], axis=1)  # (TM, 2)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def ball_query_bounds_pallas(
+    scales: tuple[tuple[float, int], ...],
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    interpret: bool = False,
+    rows_per_program: int = 1,
+    count_mode: str = "matmul",
+) -> tuple[tuple[jax.Array, jax.Array], ...]:
+    """Per scale: (need (B, M) — exclusive chunk-scan bound, total (B, M))."""
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    Np = _round_up(N, _CHUNK)
+    nch = Np // _CHUNK
+    tm = min(512, _round_up(M, 128))
+    Mp = _round_up(M, tm)
+    G = Mp // tm
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    rb = rows_per_program if (G == 1 and B % rows_per_program == 0) else 1
+    sup = [
+        jnp.pad(xyz[..., i], ((0, 0), (0, Np - N)), constant_values=1e12).reshape(B, nch, 1, _CHUNK)
+        for i in range(3)
+    ]
+    if G > 1:  # rb==1: one (row, query-tile) pair per program
+        sup = [jnp.repeat(s, G, axis=0) for s in sup]
+    qry = [jnp.pad(new_xyz[..., i], ((0, 0), (0, Mp - M))).reshape(B * G, 1, tm) for i in range(3)]
+    grid = ((B * G) // rb,)
+    qspec = pl.BlockSpec((rb, 1, tm), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((rb, nch, 1, _CHUNK), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    out_specs = tuple(
+        pl.BlockSpec((rb, tm, 2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM) for _ in scales
+    )
+    out_shapes = tuple(jax.ShapeDtypeStruct((B * G, tm, 2), jnp.float32) for _ in scales)
+    outs = pl.pallas_call(
+        _make_bounds_kernel(scales, nch, tm, rb, count_mode),
+        grid=grid,
+        in_specs=[qspec, qspec, qspec, sspec, sspec, sspec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*qry, *sup)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    res = []
+    for o in outs:
+        o = o.reshape(B, Mp, 2)
+        res.append((o[:, :M, 0], o[:, :M, 1]))
+    return tuple(res)
+
+
+def _subtile_order_key(
+    scales: tuple[tuple[float, int], ...], xyz: jax.Array, new_xyz: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Composite query-ordering key for the sub-tile-gated kernel.
+
+    Per scale: dense queries (total >= nsample) key by their chunk-scan
+    crossing bound, stragglers sort after them by hit count; the costliest
+    scale (largest nsample) keys first."""
+    bounds = ball_query_bounds_pallas(scales, xyz, new_xyz, interpret)
+    keys = [
+        jnp.where(tot >= ns, need, 1000.0 + tot)
+        for (_r, ns), (need, tot) in zip(scales, bounds)
+    ]
+    prio = sorted(range(len(scales)), key=lambda s: -scales[s][1])
+    key = jnp.zeros_like(keys[0])
+    for depth, s in enumerate(prio):
+        key = key + keys[s] * (2048.0 ** (len(prio) - 1 - depth))
+    return key
+
+
 # ---------------------------------------------------------------------------
 # inference-fused: ball query + grouping + folded-BN MLP + slot maxpool
 # ---------------------------------------------------------------------------
 
-def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, tm: int, gate_chunks: bool = False):
+def _make_group_mlp_kernel(
+    scales: tuple[tuple[float, int], ...],
+    n_valid: int,
+    tm: int,
+    gate_chunks: bool = False,
+    subtile: int = 0,
+):
     """Per scale, consume (A, Bq, a0, b0, W1, a1, b1) and emit the SA scale
     output max_k relu(a1*(relu(a0*(val_k - Bq) + b0) @ W1) + b1) directly —
     grouped tensors never leave VMEM. First-hit-fill padding is dropped: the
@@ -513,7 +646,74 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
             # per-slot compare + dot per chunk: measured FASTER than fusing
             # the ns selections into one (ns*TM, CHUNK) matmul (410 ms vs
             # 263 at bench shapes — the wide operand breaks Mosaic's tiling)
-            if gate_chunks:
+            if subtile:
+                # Two-gate sub-tiling: each SUBTILE-row group independently
+                # picks the cheaper of (a) chunk-gating — scan only the
+                # prefix of chunks covering every row's min(ns, total)-th
+                # hit, all ns slots unrolled — and (b) slot-gating — compute
+                # only max(total) slots, all chunks unrolled; the remaining
+                # slots are first-hit fill, which the epilogue's
+                # ``total >= k`` select reconstructs without reading the
+                # (unwritten) accumulator rows. Callers order queries by the
+                # bounds pre-pass so tiles are homogeneous; bounds here are
+                # recomputed exactly, so ANY order is correct.
+                thr = jnp.minimum(total, float(nsample))  # (TM, 1)
+                needv = jnp.sum((bnd < thr).astype(jnp.float32), axis=1, keepdims=True) + 1.0
+                acc_ref = acc_refs[s]
+                C1 = acc_ref.shape[-1]
+                for r0 in range(0, tm, subtile):
+                    rs = slice(r0, r0 + subtile)
+                    h = jnp.minimum(jnp.max(needv[rs]), float(nch)).astype(jnp.int32)
+                    cap = jnp.maximum(jnp.max(thr[rs]), 1.0).astype(jnp.int32)
+                    use_chunk = h * nsample <= cap * nch
+
+                    @pl.when(use_chunk)
+                    def _chunk_gate(rs=rs, h=h, A_ref=A_ref, acc_ref=acc_ref):
+                        for k in range(nsample):
+                            acc_ref[k, rs] = jnp.zeros((subtile, C1), jnp.float32)
+
+                        # per-slot compare+dot at m=subtile. (Two batching
+                        # rewrites measured NO better on-chip: stacking the
+                        # ns selections into one (ns*subtile, CHUNK) matmul
+                        # via a staging buffer = 219 ms, and full-width
+                        # (subtile, Np) per-slot contractions off a rank
+                        # mirror = 225 ms + a 114MB VMEM budget, vs 217 ms
+                        # for this form — Mosaic already pipelines the small
+                        # matmul sequences well.)
+                        def body(ch, carry):
+                            rank = rank_ref[ch, rs]
+                            a_ch = A_ref[0, ch]
+                            for k in range(1, nsample + 1):
+                                sel = (rank == float(k)).astype(A_dtype)
+                                acc_ref[k - 1, rs] += jax.lax.dot_general(
+                                    sel, a_ch, dimension_numbers=(((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                )
+                            return carry
+
+                        jax.lax.fori_loop(0, h, body, 0)
+
+                    @pl.when(jnp.logical_not(use_chunk))
+                    def _slot_gate(rs=rs, cap=cap, A_ref=A_ref, acc_ref=acc_ref):
+                        # straggler tiles: compute only the real slots; hits
+                        # are spread across scan order, so chunks unroll
+                        def body(i, carry):
+                            kf = (i + 1).astype(jnp.float32)
+                            acc = None
+                            for ch in range(nch):
+                                sel = (rank_ref[ch, rs] == kf).astype(A_dtype)
+                                d = jax.lax.dot_general(
+                                    sel, A_ref[0, ch], dimension_numbers=(((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                )
+                                acc = d if acc is None else acc + d
+                            acc_ref[i, rs] = acc
+                            return carry
+
+                        jax.lax.fori_loop(0, cap, body, 0)
+
+                vals = [acc_ref[k] for k in range(nsample)]
+            elif gate_chunks:
                 # per-query needed chunk count: enough chunks to cover the
                 # min(nsample, total)-th hit — stragglers (total < nsample)
                 # only need up to their LAST hit, everyone else up to the
@@ -575,7 +775,7 @@ def _make_group_mlp_kernel(scales: tuple[tuple[float, int], ...], n_valid: int, 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def ball_query_group_mlp_pallas(
     scales: tuple[tuple[float, int], ...],
     xyz: jax.Array,
@@ -584,6 +784,7 @@ def ball_query_group_mlp_pallas(
     interpret: bool = False,
     query_tile: int | None = None,
     gate_chunks: bool = False,
+    subtile: int = 0,
 ) -> tuple[jax.Array, ...]:
     """Inference-only fully fused SA stage (all scales in one kernel).
 
@@ -609,21 +810,30 @@ def ball_query_group_mlp_pallas(
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
 
-    # density sort: the kernel's chunk gating is bounded by each TILE's
-    # worst query, so order queries by estimated support density (hit count
-    # at the smallest radius against a strided subsample — ~3 orders of
-    # magnitude cheaper than the real distance pass). Descending hits ==
-    # ascending chunks-needed; straggler queries share the last tiles.
-    # The sort is a pure permutation, inverted on the outputs — results are
-    # bit-identical to the unsorted kernel (selection is exact).
-    sort = gate_chunks and G > 1
-    if sort:
+    # Query ordering (a pure permutation, inverted on the outputs — results
+    # are bit-identical to the unsorted kernel since selection is exact):
+    #
+    # * subtile mode: exact composite key from the bounds pre-pass — dense
+    #   queries (total >= ns) ascending by chunks-needed, stragglers after
+    #   them ascending by hit count; the costliest scale (largest ns) keys
+    #   first. Each 32-row sub-tile then gates on near-homogeneous bounds.
+    #   (A strided-subsample density ESTIMATE measured 75-85% of ungated
+    #   work vs 36-55% with exact keys — one misplaced straggler per tile
+    #   pins both gates, so the pre-pass pays for itself.)
+    # * gate_chunks (legacy whole-tile gate): subsample density estimate.
+    if subtile and Np // _CHUNK <= 1:
+        subtile = 0  # single-chunk supports have nothing to gate
+    sort = (gate_chunks and G > 1) or subtile
+    if subtile:
+        order = jnp.argsort(_subtile_order_key(scales, xyz, new_xyz, interpret), axis=1)
+    elif sort:
         stride = max(1, N // _CHUNK)
         sub = xyz[:, ::stride][:, :_CHUNK]
         d2s = jnp.sum((new_xyz[:, :, None, :] - sub[:, None, :, :]) ** 2, axis=-1)
         rmin2 = min(r for r, _ in scales) ** 2
         hits = jnp.sum(d2s < rmin2, axis=-1)  # (B, M)
         order = jnp.argsort(-hits, axis=1)
+    if sort:
         inv_order = jnp.argsort(order, axis=1)
         new_xyz = jnp.take_along_axis(new_xyz, order[..., None], axis=1)
         scale_params = tuple(
@@ -677,7 +887,7 @@ def ball_query_group_mlp_pallas(
     )
 
     outs = pl.pallas_call(
-        _make_group_mlp_kernel(scales, N, tm, gate_chunks),
+        _make_group_mlp_kernel(scales, N, tm, gate_chunks, subtile),
         grid=grid,
         in_specs=[qspec, qspec, qspec, sspec, sspec, sspec,
                   *A_specs, *bq_specs,

@@ -149,6 +149,53 @@ class TestFusedGroupMLPSorted:
     """Multi-tile shapes trigger the density sort + per-tile chunk gating;
     the inverse permutation must make results identical to the index path."""
 
+    def test_order_key_matches_numpy(self):
+        """The XLA ordering key = per-scale composite (dense by chunk-scan
+        crossing, stragglers after by hit count), costliest scale first."""
+        from or4d_tpu.ops.pallas_ball_query import _subtile_order_key
+
+        B, N, M = 2, 1100, 256
+        xyz, new_xyz, _ = _setup(21, B, N, M, 8)
+        scales = ((0.15, 4), (0.3, 6))
+        key = np.asarray(_subtile_order_key(scales, xyz, new_xyz, True))
+        d2 = ((np.asarray(new_xyz)[:, :, None, :] - np.asarray(xyz)[:, None, :, :]) ** 2).sum(-1)
+        keys_np = {}
+        for r, ns in scales:
+            hit = d2 < r * r
+            tot_np = hit.sum(-1)
+            chunks = np.add.reduceat(hit, np.arange(0, N, 512), axis=-1)
+            ccum = np.cumsum(chunks, axis=-1)
+            thr = np.minimum(tot_np, ns)
+            need_np = (ccum < np.maximum(thr, 1)[..., None]).sum(-1) + 1
+            keys_np[ns] = np.where(tot_np >= ns, need_np, 1000.0 + tot_np)
+        want = keys_np[6] * 2048.0 + keys_np[4]
+        np.testing.assert_allclose(key, want)
+
+    def test_parity_subtile_two_gate(self):
+        """The two-gate sub-tiled kernel (exact-bounds sort + per-sub-tile
+        chunk/slot gating) is exactly the index path."""
+        from or4d_tpu.ops.pallas_ball_query import ball_query_group_mlp_pallas
+        from tests.test_fused_group import TestFusedGroupMLP, _setup
+
+        B, N, M, C1, C2 = 1, 1100, 640, 32, 48  # nch=3, G=2
+        xyz, new_xyz, A1 = _setup(22, B, N, M, C1)
+        scales = ((0.15, 4), (0.3, 6))
+        A2 = _setup(23, B, N, M, C1)[2]
+        helper = TestFusedGroupMLP()
+        p1 = helper._params(24, C1, C2, M, B, xyz, new_xyz, A1)
+        p2 = helper._params(25, C1, 32, M, B, xyz, new_xyz, A2)
+        outs = ball_query_group_mlp_pallas(scales, xyz, new_xyz, (p1, p2), True, None, False, 32)
+
+        for s, ((r, ns), p) in enumerate(zip(scales, (p1, p2))):
+            A, Bq, a0, b0, W1, a1, b1 = p
+            idx = np.asarray(ball_query(r, ns, xyz, new_xyz))
+            g = np.take_along_axis(np.asarray(A)[:, :, None, :], idx[..., None], axis=1)
+            h = np.maximum((g - np.asarray(Bq)[:, :, None, :]) * np.asarray(a0) + np.asarray(b0), 0)
+            hw = h @ np.asarray(W1)
+            o = np.maximum(hw * np.asarray(a1) + np.asarray(b1), 0)
+            want = o.max(axis=2)
+            np.testing.assert_allclose(np.asarray(outs[s]), want, rtol=1e-4, atol=1e-4)
+
     def test_parity_with_sort_and_gating(self):
         from or4d_tpu.ops.pallas_ball_query import ball_query_group_mlp_pallas
         from tests.test_fused_group import TestFusedGroupMLP, _setup
