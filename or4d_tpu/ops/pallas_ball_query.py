@@ -86,10 +86,10 @@ def _prefix_count_mxu(d2: jax.Array, r2: float, tri: jax.Array):
     return locals_, excl, c
 
 
-def _tri_inclusive(dtype):
-    """(CHUNK, CHUNK) lower-triangular-transpose ones: tri[j, i] = j <= i."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 0)
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 1)
+def _tri_inclusive(dtype, n: int = _CHUNK):
+    """(n, n) lower-triangular-transpose ones: tri[j, i] = j <= i."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     return (r <= cidx).astype(dtype)
 
 
@@ -436,7 +436,13 @@ def _make_bounds_kernel(
     ~2.3us per (512,512) tile) or "matmul" (mask @ ones on the MXU).
     An XLA norm-expansion formulation of this pass measured 58 ms at bench
     shapes — the f32 cross-term HBM round-trip is its floor; VMEM-resident
-    Pallas is the right structure."""
+    Pallas is the right structure.
+
+    Distances ride the MXU as [-2q | 1] @ [p ; |p|^2] (default-precision f32
+    ~ 1e-6 relative — the main kernel recomputes its gate bounds with exact
+    direct-diff arithmetic, so an epsilon-level hit flip here only perturbs
+    the query ORDER); the VPU direct-diff form costs ~8 full-tile passes per
+    chunk and dominated the 40 ms round-3 pre-pass."""
 
     def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *out_refs):
         ones = jnp.ones((_CHUNK, 8), jnp.bfloat16)
@@ -444,12 +450,23 @@ def _make_bounds_kernel(
             qx = qx_ref[r].reshape(tm, 1)
             qy = qy_ref[r].reshape(tm, 1)
             qz = qz_ref[r].reshape(tm, 1)
+            qn2 = qx * qx + qy * qy + qz * qz  # (TM, 1)
+            q4 = jnp.concatenate(
+                [-2.0 * qx, -2.0 * qy, -2.0 * qz, jnp.ones_like(qx)], axis=1
+            )  # (TM, 4)
             counts = [[] for _ in scales]  # per scale, per chunk (TM, 1)
             for ch in range(nch):
-                dx = qx - x_ref[r, ch]
-                dy = qy - y_ref[r, ch]
-                dz = qz - z_ref[r, ch]
-                d2 = dx * dx + dy * dy + dz * dz  # (TM, CHUNK)
+                x = x_ref[r, ch]  # (1, CHUNK)
+                y = y_ref[r, ch]
+                z = z_ref[r, ch]
+                p4 = jnp.concatenate([x, y, z, x * x + y * y + z * z], axis=0)  # (4, CHUNK)
+                d2 = (
+                    jax.lax.dot_general(
+                        q4, p4, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + qn2
+                )  # (TM, CHUNK) = |q|^2 - 2 q.p + |p|^2
                 for s, (radius, _ns) in enumerate(scales):
                     if count_mode == "matmul":
                         m = (d2 < radius * radius).astype(jnp.bfloat16)
@@ -484,7 +501,10 @@ def ball_query_bounds_pallas(
     new_xyz: jax.Array,
     interpret: bool = False,
     rows_per_program: int = 1,
-    count_mode: str = "matmul",
+    # lanesum: with the norm-expansion distance matmul on the MXU, VPU
+    # log-tree counts overlap it (35.7 ms); interleaving a second matmul
+    # shape for the counts measured 63 ms
+    count_mode: str = "lanesum",
 ) -> tuple[tuple[jax.Array, jax.Array], ...]:
     """Per scale: (need (B, M) — exclusive chunk-scan bound, total (B, M))."""
     B, N, _ = xyz.shape
@@ -593,7 +613,16 @@ def _make_group_mlp_kernel(
         qy = qy_ref[0].reshape(tm, 1)
         qz = qz_ref[0].reshape(tm, 1)
         nch = d2_ref.shape[0]
-        tri = _tri_inclusive(jnp.bfloat16)
+        # local prefixes run on PC-lane half-chunks: the triangular-matmul
+        # cost is nhalves * TM * PC^2 = TM * N * PC — LINEAR in the prefix
+        # width — while gating/selection keep their 512-lane granularity
+        # (rank planes are assembled per half with half-granular offsets)
+        # PC=256 measured best (206 ms): PC=128's extra dot-issue overhead
+        # costs more than its tri savings (209 ms + a VMEM bump), PC=512
+        # (round-2 state) pays double tri (217 ms)
+        PC = _CHUNK // 2
+        halves = _CHUNK // PC
+        tri = _tri_inclusive(jnp.bfloat16, PC)
         # chunk-major distance tiles; padded support lanes carry poison
         # coords (wrapper), so no lane-index masking is needed anywhere.
         # (A norm-expansion variant with the 3-wide cross term on the MXU
@@ -617,31 +646,42 @@ def _make_group_mlp_kernel(
             b1 = b1_refs[s][0].astype(jnp.float32)
 
             r2 = radius * radius
-            # chunk-local prefixes via MXU triangular matmuls (0/1 bf16
-            # inputs, f32 accumulation — exact); the tiny cross-chunk scan
+            # half-chunk-local prefixes via MXU triangular matmuls (0/1 bf16
+            # inputs, f32 accumulation — exact); the tiny cross-half scan
             # turns them into global hit ranks, stored chunk-major (0 at
             # non-hits) so the gated loop can index chunks dynamically
             tots = []
             locs = []
             for ch in range(nch):
-                m = d2_ref[ch] < r2
-                loc = jax.lax.dot_general(
-                    m.astype(tri.dtype), tri, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                locs.append((m, loc))
-                tots.append(loc[:, _CHUNK - 1 : _CHUNK])
-            tot = jnp.concatenate(tots, axis=1)  # (TM, nch)
+                d2c = d2_ref[ch]
+                pairs = []
+                for hf in range(halves):
+                    mh = d2c[:, hf * PC : (hf + 1) * PC] < r2
+                    loc = jax.lax.dot_general(
+                        mh.astype(tri.dtype), tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    pairs.append((mh, loc))
+                    tots.append(loc[:, PC - 1 : PC])
+                locs.append(pairs)
+            nh = nch * halves
+            tot = jnp.concatenate(tots, axis=1)  # (TM, nh)
             bnd = tot
             shift = 1
             colc = jax.lax.broadcasted_iota(jnp.int32, bnd.shape, 1)
-            while shift < nch:
+            while shift < nh:
                 bnd = bnd + jnp.where(colc >= shift, pltpu.roll(bnd, shift, 1), 0.0)
                 shift *= 2
-            excl = bnd - tot  # exclusive chunk offsets
-            for ch, (m, loc) in enumerate(locs):  # global rank at hits, 0 at non-hits
-                rank_ref[ch] = jnp.where(m, loc + excl[:, ch : ch + 1], 0.0)
-            total = bnd[:, nch - 1 : nch]  # (TM, 1)
+            excl = bnd - tot  # exclusive half-chunk offsets
+            for ch, pairs in enumerate(locs):  # global rank at hits, 0 at non-hits
+                rank_ref[ch] = jnp.concatenate(
+                    [
+                        jnp.where(mh, loc + excl[:, ch * halves + hf : ch * halves + hf + 1], 0.0)
+                        for hf, (mh, loc) in enumerate(pairs)
+                    ],
+                    axis=1,
+                )
+            total = bnd[:, nh - 1 : nh]  # (TM, 1)
 
             # per-slot compare + dot per chunk: measured FASTER than fusing
             # the ns selections into one (ns*TM, CHUNK) matmul (410 ms vs
@@ -658,7 +698,9 @@ def _make_group_mlp_kernel(
                 # bounds pre-pass so tiles are homogeneous; bounds here are
                 # recomputed exactly, so ANY order is correct.
                 thr = jnp.minimum(total, float(nsample))  # (TM, 1)
+                # crossing half-chunk (1-based) -> covering CHUNK count
                 needv = jnp.sum((bnd < thr).astype(jnp.float32), axis=1, keepdims=True) + 1.0
+                needv = jnp.ceil(needv / halves)
                 acc_ref = acc_refs[s]
                 C1 = acc_ref.shape[-1]
                 for r0 in range(0, tm, subtile):
@@ -720,7 +762,7 @@ def _make_group_mlp_kernel(
                 # chunk where the cumulative count reaches nsample; the
                 # tile bound is the max.
                 thr = jnp.minimum(total, float(nsample))  # (TM, 1)
-                need = jnp.sum((bnd < thr).astype(jnp.int32), axis=1) + 1
+                need = (jnp.sum((bnd < thr).astype(jnp.int32), axis=1) + halves) // halves
                 bound = jnp.minimum(jnp.max(need), nch)
 
                 for k in range(nsample):

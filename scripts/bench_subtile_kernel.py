@@ -66,7 +66,7 @@ def main():
     params = tuple(params)
     jax.block_until_ready(params)
 
-    for rb, cm in ((1, "matmul"), (1, "lanesum"), (4, "matmul")):
+    for rb, cm in ((1, "matmul"), (1, "lanesum")):
         timeit(
             lambda x, nq, rb=rb, cm=cm: sum(
                 a.sum() + b.sum() for a, b in ball_query_bounds_pallas(scales, x, nq, False, rb, cm)
@@ -75,7 +75,7 @@ def main():
         )
     t0 = timeit(lambda x, nq, p: ball_query_group_mlp_pallas(scales, x, nq, p),
                 xyz, q, params, tag="static unroll (current default)")
-    for st in (32, 64):
+    for st in (32,):
         timeit(lambda x, nq, p, st=st: ball_query_group_mlp_pallas(scales, x, nq, p, False, None, False, st),
                xyz, q, params, tag=f"two-gate subtile={st} (incl. pre-pass+sort)")
 
