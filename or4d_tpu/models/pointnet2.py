@@ -142,14 +142,13 @@ class SetAbstractionMSG(nn.Module):
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True):
         from or4d_tpu.ops.pallas_ball_query import (
+            _CHUNK,
+            _counts_to_bounds,
             ball_query_group_mlp_pallas,
+            ball_query_group_mlp_pallas_v4,
             ball_query_group_pallas,
             ball_query_multiscale,
         )
-
-        idx = ops.furthest_point_sample(xyz, self.npoint)
-        idx = jax.lax.stop_gradient(idx)
-        new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # (B, npoint, 3)
 
         if self.fused_mode == "auto":
             fused = jax.default_backend() == "tpu"
@@ -158,12 +157,35 @@ class SetAbstractionMSG(nn.Module):
             fused = self.fused_mode in ("eval_kernel", "train_kernel")
             eval_kernel = self.fused_mode == "eval_kernel"
         scale_spec = tuple((float(sc.radius), int(sc.nsample)) for sc in self.scales)
+
+        # v4 eval path: FPS emits per-chunk hit counts as a free byproduct
+        # (identical f32 arithmetic), making the gated kernel's bounds
+        # pre-pass unnecessary — only pays when supports span >= 2 chunks
+        counts = None
+        use_v4 = (
+            eval_kernel
+            and (fused or self.kernel_interpret)
+            and self.eval_subtile
+            and xyz.shape[1] > _CHUNK
+            and all(len(sc.mlp) == 2 for sc in self.scales)
+        )
+        if use_v4:
+            from or4d_tpu.ops.pallas_fps import furthest_point_sample_with_counts
+
+            idx, counts = furthest_point_sample_with_counts(
+                xyz, self.npoint, tuple(r for r, _ns in scale_spec), self.kernel_interpret
+            )
+        else:
+            idx = ops.furthest_point_sample(xyz, self.npoint)
+        idx = jax.lax.stop_gradient(idx)
+        new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # (B, npoint, 3)
+
         mlps = [
             DelayedSharedMLP(sc.mlp, radius=sc.radius, nsample=sc.nsample, dtype=self.dtype, name=f"mlp_{si}")
             for si, sc in enumerate(self.scales)
         ]
 
-        if fused:
+        if fused or (use_v4 and self.kernel_interpret):
             pres = [m.pre(xyz, features, new_xyz) for m in mlps]
             if eval_kernel and all(len(sc.mlp) == 2 for sc in self.scales):
                 # fully fused inference: one kernel computes every scale's
@@ -171,10 +193,17 @@ class SetAbstractionMSG(nn.Module):
                 params = tuple(
                     (A, Bq, *m.fused_eval_params()) for (A, Bq), m in zip(pres, mlps)
                 )
-                outs = ball_query_group_mlp_pallas(
-                    scale_spec, xyz, new_xyz, params, self.kernel_interpret,
-                    None, False, self.eval_subtile,
-                )
+                if counts is not None:
+                    outs = ball_query_group_mlp_pallas_v4(
+                        scale_spec, xyz, new_xyz, params,
+                        _counts_to_bounds(scale_spec, counts),
+                        self.kernel_interpret, None, self.eval_subtile,
+                    )
+                else:
+                    outs = ball_query_group_mlp_pallas(
+                        scale_spec, xyz, new_xyz, params, self.kernel_interpret,
+                        None, False, self.eval_subtile,
+                    )
                 return new_xyz, jnp.concatenate(outs, axis=-1)
             # training: one merged kernel emits every scale's grouped
             # layer-1 features (shared distance tile), BN/ReLU + later

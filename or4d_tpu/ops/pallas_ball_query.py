@@ -569,9 +569,195 @@ def _subtile_order_key(
     return key
 
 
+def _counts_to_bounds(
+    scales: tuple[tuple[float, int], ...], counts: tuple[jax.Array, ...]
+) -> tuple[tuple[jax.Array, jax.Array], ...]:
+    """Per-chunk hit counts (B, M, nch) -> per scale (need, thr) with
+    need = chunks covering the min(nsample, total)-th hit (exclusive scan
+    bound) and thr = min(nsample, total). Bit-exact against the main
+    kernel's in-kernel arithmetic when the counts come from
+    `furthest_point_sample_with_counts` (identical f32 direct-diff)."""
+    out = []
+    for (_r, ns), c in zip(scales, counts):
+        cum = jnp.cumsum(c, axis=-1)  # (B, M, nch)
+        total = cum[..., -1]
+        thr = jnp.minimum(total, float(ns))
+        need = jnp.sum((cum < thr[..., None]).astype(jnp.float32), axis=-1) + 1.0
+        out.append((need, thr))
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
 # inference-fused: ball query + grouping + folded-BN MLP + slot maxpool
 # ---------------------------------------------------------------------------
+
+
+def _make_group_mlp_kernel_v4(
+    scales: tuple[tuple[float, int], ...],
+    tm: int,
+    subtile: int,
+    nch: int,
+    pair_chunks: bool = False,
+):
+    """Two-gate sub-tiled eval SA kernel, lazy-everything variant.
+
+    The round-3 kernel built full-width d2 tiles and rank planes for ALL
+    chunks up front (~70 ms of the 211 ms at 640 rows — probe data in
+    PERF.md) and recomputed its gate bounds from them. Here the bounds
+    arrive as INPUTS (exact, a free byproduct of the FPS kernel —
+    pallas_fps.furthest_point_sample_with_counts), so distances, triangular
+    prefixes and rank planes are built per chunk INSIDE the gated loops with
+    a running hit-count carry: every fixed cost now scales with the chunks
+    actually scanned.
+
+    Per scale, bounds_ref carries (tm, 2) = [need, thr] per sorted query:
+    need = chunk-prefix bound covering the min(ns, total)-th hit, thr =
+    min(ns, total). Correctness does not depend on the query ORDER (bounds
+    are exact per query); order only affects tile homogeneity.
+
+    pair_chunks: fuse chunk pairs in the selection dots (k = 2*CHUNK) —
+    halves the per-unit dispatch overhead at the cost of chunk-pair gate
+    granularity. Requires even nch.
+    """
+    S = len(scales)
+    PC = _CHUNK // 2
+    halves = _CHUNK // PC
+    step = 2 if pair_chunks else 1  # chunks per gated iteration
+
+    def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *rest):
+        A_refs = rest[0:S]
+        bq_refs = rest[S : 2 * S]
+        a0_refs = rest[2 * S : 3 * S]
+        b0_refs = rest[3 * S : 4 * S]
+        w1_refs = rest[4 * S : 5 * S]
+        a1_refs = rest[5 * S : 6 * S]
+        b1_refs = rest[6 * S : 7 * S]
+        bounds_refs = rest[7 * S : 8 * S]
+        out_refs = rest[8 * S : 9 * S]
+        rank_ref = rest[9 * S]  # (nch, subtile, CHUNK) f32 scratch (slot path)
+        acc_refs = rest[9 * S + 1 :]  # per scale (ns, tm, C1) f32
+
+        tri = _tri_inclusive(jnp.bfloat16, PC)
+        qx = qx_ref[0].reshape(tm, 1)
+        qy = qy_ref[0].reshape(tm, 1)
+        qz = qz_ref[0].reshape(tm, 1)
+
+        def chunk_ranks(ch, rs, carry, r2):
+            """d2 + half-chunk tri prefix for chunk ch, rows rs; returns
+            (rank plane (subtile, CHUNK) — global rank at hits, 0 at
+            non-hits, given carry = hits before this chunk — and the new
+            carry)."""
+            dx = qx[rs] - x_ref[0, ch]
+            dy = qy[rs] - y_ref[0, ch]
+            dz = qz[rs] - z_ref[0, ch]
+            d2 = dx * dx + dy * dy + dz * dz  # (subtile, CHUNK)
+            parts = []
+            off = carry
+            for hf in range(halves):
+                mh = d2[:, hf * PC : (hf + 1) * PC] < r2
+                loc = jax.lax.dot_general(
+                    mh.astype(tri.dtype), tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                parts.append(jnp.where(mh, loc + off, 0.0))
+                off = off + loc[:, PC - 1 : PC]
+            return jnp.concatenate(parts, axis=1), off
+
+        for s, (radius, nsample) in enumerate(scales):
+            A_ref = A_refs[s]  # (1, nchA, CHUNKA, C1) — pair-major if step=2
+            acc_ref = acc_refs[s]
+            A_dtype = A_ref.dtype
+            C1 = acc_ref.shape[-1]
+            r2s = radius * radius
+            Bq = bq_refs[s][0].astype(jnp.float32)
+            a0 = a0_refs[s][0].astype(jnp.float32)
+            b0 = b0_refs[s][0].astype(jnp.float32)
+            W1 = w1_refs[s][0]
+            a1 = a1_refs[s][0].astype(jnp.float32)
+            b1 = b1_refs[s][0].astype(jnp.float32)
+            bounds = bounds_refs[s][0]  # (tm, 2) [need, thr]
+
+            for r0 in range(0, tm, subtile):
+                rs = slice(r0, r0 + subtile)
+                needv = bounds[rs, 0:1]
+                thrv = bounds[rs, 1:2]
+                h = jnp.minimum(jnp.max(needv), float(nch)).astype(jnp.int32)
+                hp = (h + (step - 1)) // step  # gated iterations
+                cap = jnp.maximum(jnp.max(thrv), 1.0).astype(jnp.int32)
+                use_chunk = h * nsample <= cap * nch
+
+                @pl.when(use_chunk)
+                def _chunk_gate(rs=rs, hp=hp, A_ref=A_ref, acc_ref=acc_ref, r2s=r2s):
+                    for k in range(nsample):
+                        acc_ref[k, rs] = jnp.zeros((subtile, C1), jnp.float32)
+
+                    def body(cp, carry):
+                        if step == 2:
+                            r1, carry = chunk_ranks(2 * cp, rs, carry, r2s)
+                            r2_, carry = chunk_ranks(2 * cp + 1, rs, carry, r2s)
+                            rank = jnp.concatenate([r1, r2_], axis=1)
+                        else:
+                            rank, carry = chunk_ranks(cp, rs, carry, r2s)
+                        a_ch = A_ref[0, cp]
+                        for k in range(1, nsample + 1):
+                            sel = (rank == float(k)).astype(A_dtype)
+                            acc_ref[k - 1, rs] += jax.lax.dot_general(
+                                sel, a_ch, dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                        return carry
+
+                    jax.lax.fori_loop(0, hp, body, jnp.zeros((subtile, 1), jnp.float32))
+
+                @pl.when(jnp.logical_not(use_chunk))
+                def _slot_gate(rs=rs, cap=cap, A_ref=A_ref, acc_ref=acc_ref, r2s=r2s):
+                    # stragglers: every hit is selected (total < ns), hits
+                    # spread across scan order — build ALL rank planes once
+                    # (static unroll, running carry), then loop real slots
+                    carry = jnp.zeros((subtile, 1), jnp.float32)
+                    for ch in range(nch):
+                        rank_ref[ch], carry = chunk_ranks(ch, rs, carry, r2s)
+
+                    def body(i, c):
+                        kf = (i + 1).astype(jnp.float32)
+                        acc = None
+                        for cp in range(nch // step):
+                            if step == 2:
+                                sel_plane = jnp.concatenate(
+                                    [rank_ref[2 * cp], rank_ref[2 * cp + 1]], axis=1
+                                )
+                            else:
+                                sel_plane = rank_ref[cp]
+                            sel = (sel_plane == kf).astype(A_dtype)
+                            d = jax.lax.dot_general(
+                                sel, A_ref[0, cp], dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            acc = d if acc is None else acc + d
+                        acc_ref[i, rs] = acc
+                        return c
+
+                    jax.lax.fori_loop(0, cap, body, 0)
+
+            # epilogue at full tile width (identical to the round-3 kernel):
+            # first-hit fill via thr >= k (padded slots duplicate slot 1 —
+            # the max is unchanged), folded-BN MLP, slot maxpool
+            thr_full = bounds[:, 1:2]
+            best = None
+            first = None
+            for k in range(1, nsample + 1):
+                val = acc_ref[k - 1]
+                if first is None:
+                    first = val
+                else:
+                    val = jnp.where(thr_full >= float(k), val, first)
+                hmid = jnp.maximum((val - Bq) * a0 + b0, 0.0)
+                hw = jnp.dot(hmid.astype(W1.dtype), W1, preferred_element_type=jnp.float32)
+                o = jnp.maximum(hw * a1 + b1, 0.0)
+                best = o if best is None else jnp.maximum(best, o)
+            out_refs[s][0] = best.astype(out_refs[s].dtype)
+
+    return kernel
 
 def _make_group_mlp_kernel(
     scales: tuple[tuple[float, int], ...],
@@ -579,6 +765,7 @@ def _make_group_mlp_kernel(
     tm: int,
     gate_chunks: bool = False,
     subtile: int = 0,
+    debug_bounds: tuple[int, int] | None = None,
 ):
     """Per scale, consume (A, Bq, a0, b0, W1, a1, b1) and emit the SA scale
     output max_k relu(a1*(relu(a0*(val_k - Bq) + b0) @ W1) + b1) directly —
@@ -708,6 +895,17 @@ def _make_group_mlp_kernel(
                     h = jnp.minimum(jnp.max(needv[rs]), float(nch)).astype(jnp.int32)
                     cap = jnp.maximum(jnp.max(thr[rs]), 1.0).astype(jnp.int32)
                     use_chunk = h * nsample <= cap * nch
+                    if debug_bounds is not None:
+                        # measurement-only override (WRONG results): pin the
+                        # gate bounds to constants to separate per-iteration
+                        # loop overhead from per-unit selection work
+                        dh, dc = debug_bounds
+                        if dh:
+                            h = jnp.int32(dh)
+                            use_chunk = h >= 0  # always chunk path
+                        else:
+                            cap = jnp.int32(dc)
+                            use_chunk = cap < 0  # always slot path
 
                     @pl.when(use_chunk)
                     def _chunk_gate(rs=rs, h=h, A_ref=A_ref, acc_ref=acc_ref):
@@ -817,7 +1015,7 @@ def _make_group_mlp_kernel(
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
 def ball_query_group_mlp_pallas(
     scales: tuple[tuple[float, int], ...],
     xyz: jax.Array,
@@ -827,6 +1025,7 @@ def ball_query_group_mlp_pallas(
     query_tile: int | None = None,
     gate_chunks: bool = False,
     subtile: int = 0,
+    debug_bounds: tuple[int, int] | None = None,
 ) -> tuple[jax.Array, ...]:
     """Inference-only fully fused SA stage (all scales in one kernel).
 
@@ -929,7 +1128,7 @@ def ball_query_group_mlp_pallas(
     )
 
     outs = pl.pallas_call(
-        _make_group_mlp_kernel(scales, N, tm, gate_chunks, subtile),
+        _make_group_mlp_kernel(scales, N, tm, gate_chunks, subtile, debug_bounds),
         grid=grid,
         in_specs=[qspec, qspec, qspec, sspec, sspec, sspec,
                   *A_specs, *bq_specs,
@@ -955,6 +1154,129 @@ def ball_query_group_mlp_pallas(
     if sort:
         outs = tuple(jnp.take_along_axis(o, inv_order[..., None], axis=1) for o in outs)
     return outs
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+def ball_query_group_mlp_pallas_v4(
+    scales: tuple[tuple[float, int], ...],
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    scale_params: tuple,
+    bounds: tuple[tuple[jax.Array, jax.Array], ...],
+    interpret: bool = False,
+    query_tile: int | None = None,
+    subtile: int = 32,
+    pair_chunks: bool = True,
+) -> tuple[jax.Array, ...]:
+    """Fully fused inference SA stage, v4: gate bounds as inputs.
+
+    ``bounds[s]``: (need (B, M), thr (B, M)) from `_counts_to_bounds` over
+    the FPS kernel's fused per-chunk hit counts — exact (identical f32
+    arithmetic), so no pre-pass kernel and no in-kernel full-width prefix.
+    Results are bit-identical to the static kernel. Other arguments as in
+    :func:`ball_query_group_mlp_pallas`.
+    """
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    Np = _round_up(N, _CHUNK)
+    nch = Np // _CHUNK
+    tm = query_tile or min(512, _round_up(M, 128))
+    Mp = _round_up(M, tm)
+    G = Mp // tm
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    if pair_chunks and nch % 2:
+        pair_chunks = False
+    step = 2 if pair_chunks else 1
+
+    # composite order key from the input bounds (same formula as the
+    # pre-pass path: dense queries ascending by chunks-needed, stragglers
+    # after them ascending by hit count; costliest scale keys first)
+    keys = [
+        jnp.where(thr >= float(ns), need, 1000.0 + thr)
+        for (_r, ns), (need, thr) in zip(scales, bounds)
+    ]
+    prio = sorted(range(len(scales)), key=lambda s: -scales[s][1])
+    key = jnp.zeros_like(keys[0])
+    for depth, s in enumerate(prio):
+        key = key + keys[s] * (2048.0 ** (len(prio) - 1 - depth))
+    order = jnp.argsort(key, axis=1)
+    inv_order = jnp.argsort(order, axis=1)
+    new_xyz = jnp.take_along_axis(new_xyz, order[..., None], axis=1)
+    scale_params = tuple(
+        (A, jnp.take_along_axis(Bq, order[..., None], axis=1), a0, b0, W1, a1, b1)
+        for A, Bq, a0, b0, W1, a1, b1 in scale_params
+    )
+    bounds_in = []
+    for need, thr in bounds:
+        nb = jnp.stack([need, thr], axis=-1)  # (B, M, 2)
+        nb = jnp.take_along_axis(nb, order[..., None], axis=1)
+        bounds_in.append(
+            jnp.pad(nb, ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, 2)
+        )
+
+    sup = [
+        jnp.pad(xyz[..., i], ((0, 0), (0, Np - N)), constant_values=1e12).reshape(B, nch, 1, _CHUNK)
+        for i in range(3)
+    ]
+    qry = [jnp.pad(new_xyz[..., i], ((0, 0), (0, Mp - M))).reshape(B * G, 1, tm) for i in range(3)]
+
+    A_in, bq_in, a0_in, b0_in, w1_in, a1_in, b1_in = [], [], [], [], [], [], []
+    for A, Bq, a0, b0, W1, a1, b1 in scale_params:
+        # pair-major when chunk-pairing: (nch/step, step*CHUNK, C)
+        A_in.append(jnp.pad(A, ((0, 0), (0, Np - N), (0, 0))).reshape(B, nch // step, step * _CHUNK, -1))
+        bq_in.append(
+            jnp.pad(Bq.astype(jnp.float32), ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, -1)
+        )
+        a0_in.append(a0.reshape(1, 1, -1).astype(jnp.float32))
+        b0_in.append(b0.reshape(1, 1, -1).astype(jnp.float32))
+        w1_in.append(W1[None])
+        a1_in.append(a1.reshape(1, 1, -1).astype(jnp.float32))
+        b1_in.append(b1.reshape(1, 1, -1).astype(jnp.float32))
+
+    grid = (B, G)
+    qspec = pl.BlockSpec((1, 1, tm), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, nch, 1, _CHUNK), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    A_specs = [
+        pl.BlockSpec((1, nch // step, step * _CHUNK, A.shape[-1]), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+        for A in A_in
+    ]
+    bq_specs = [
+        pl.BlockSpec((1, tm, q.shape[-1]), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+        for q in bq_in
+    ]
+    bspec = pl.BlockSpec((1, tm, 2), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    vec_spec = lambda v: pl.BlockSpec(v.shape, lambda b, m: (0, 0, 0), memory_space=pltpu.VMEM)
+    out_specs = tuple(
+        pl.BlockSpec((1, tm, w.shape[-1]), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+        for w in w1_in
+    )
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((B * G, tm, w.shape[-1]), A.dtype) for w, (A, *_r) in zip(w1_in, scale_params)
+    )
+
+    outs = pl.pallas_call(
+        _make_group_mlp_kernel_v4(scales, tm, subtile, nch, pair_chunks),
+        grid=grid,
+        in_specs=[qspec, qspec, qspec, sspec, sspec, sspec,
+                  *A_specs, *bq_specs,
+                  *[vec_spec(v) for v in a0_in], *[vec_spec(v) for v in b0_in],
+                  *[vec_spec(v) for v in w1_in],
+                  *[vec_spec(v) for v in a1_in], *[vec_spec(v) for v in b1_in],
+                  *[bspec] * len(scales)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((nch, subtile, _CHUNK), jnp.float32),
+            *[pltpu.VMEM((ns, tm, A.shape[-1]), jnp.float32) for (_r, ns), A in zip(scales, A_in)],
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret,
+    )(*qry, *sup, *A_in, *bq_in, *a0_in, *b0_in, *w1_in, *a1_in, *b1_in, *bounds_in)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    outs = tuple(o.reshape(B, Mp, -1)[:, :M] for o in outs)
+    return tuple(jnp.take_along_axis(o, inv_order[..., None], axis=1) for o in outs)
 
 
 def ball_query_multiscale(scales, xyz: jax.Array, new_xyz: jax.Array) -> tuple[jax.Array, ...]:

@@ -177,6 +177,43 @@ def main():
                 u_min += 32 * min(h * ns, slots * nch)
             a["res"].setdefault("mingate32-unsorted", []).append(u_min / base)
 
+            # EXACT hybrid: dense rows chunk-gate in SCAN order (first-ns
+            # semantics), straggler rows (total < ns: every hit selected,
+            # order-free) window-gate in MORTON order. Stragglers sorted by
+            # their own morton window so sub-tiles are spatially compact.
+            strag = total < ns
+            key_h = np.where(
+                strag,
+                100000 + lo_m * 64 + hi_m,  # stragglers last, spatially clustered
+                hi,  # dense by scan-order crossing chunk
+            )
+            hord = np.argsort(key_h, kind="stable")
+            for sub in (32, 64):
+                u_h = 0
+                for t in range(0, 512, sub):
+                    sel = hord[t : t + sub]
+                    sd = sel[~strag[sel]]
+                    ss = sel[strag[sel]]
+                    if len(sd):  # dense sub-pass over the whole tile width
+                        u_h += sub * int(hi[sd].max()) * ns
+                    if len(ss):  # straggler morton-window sub-pass
+                        cap = max(1, int(total[ss].max()))
+                        u_h += sub * (int(hi_m[ss].max()) - int(lo_m[ss].min())) * cap
+                a["res"].setdefault(f"hybrid{sub}", []).append(u_h / base)
+            # same but mixed tiles pay only their own rows (perfect masking)
+            for sub in (32,):
+                u_h = 0
+                for t in range(0, 512, sub):
+                    sel = hord[t : t + sub]
+                    sd = sel[~strag[sel]]
+                    ss = sel[strag[sel]]
+                    if len(sd):
+                        u_h += len(sd) * int(hi[sd].max()) * ns
+                    if len(ss):
+                        cap = max(1, int(total[ss].max()))
+                        u_h += len(ss) * (int(hi_m[ss].max()) - int(lo_m[ss].min())) * cap
+                a["res"].setdefault(f"hybrid{sub}-rowexact", []).append(u_h / base)
+
             # realizable single-dynamic-axis variants (original support order):
             # per tile choose min(chunk-gate with full slots, slot-gate with
             # full chunks); and morton windows with slots full (static unroll)

@@ -1,0 +1,91 @@
+"""On-chip perf guardrail: the fused SA1-rel stage must stay under budget.
+
+Run alone on the chip BEFORE capturing a BENCH number; a regression here
+means kernel tuning broke the hot path. Budgets live in BUDGETS (ms, with a
+10% grace over the recorded best) — update them ONLY alongside a PERF.md
+entry explaining the change.
+
+Exit code 0 = within budget; 1 = regression.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/or4d_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# recorded bests (ms at 640 rows x 512 queries x 8000 pts, both SA1 scales)
+# + 10% grace; see PERF.md round-4 table
+BUDGETS = {
+    "fps_with_counts": 110.0,
+    "sa1_rel_v4": 165.0,
+}
+
+
+def timeit(fn, *args, iters=6, warmup=2):
+    s = jax.jit(lambda *a: fn(*a))
+    for _ in range(warmup):
+        float(jnp.asarray(jax.tree_util.tree_leaves(s(*args))[0]).astype(jnp.float32).sum())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(jnp.asarray(jax.tree_util.tree_leaves(s(*args))[0]).astype(jnp.float32).sum())
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main() -> int:
+    from or4d_tpu.config import DatasetConfig
+    from or4d_tpu.data.synthetic import make_scene_batch
+    from or4d_tpu.ops.pallas_ball_query import _counts_to_bounds, ball_query_group_mlp_pallas_v4
+    from or4d_tpu.ops.pallas_fps import furthest_point_sample_with_counts
+
+    rows = 640
+    ds = DatasetConfig()
+    batch = make_scene_batch(num_scenes=6, seed=0, n_objects=9, ds=ds, points_per_obj=2000)
+    rel = np.asarray(batch.rel_points)
+    mask = np.asarray(batch.edge_mask).astype(bool)
+    clouds = rel[mask][:, :, :3].astype(np.float32)
+    clouds = np.concatenate([clouds] * (-(-rows // len(clouds))))[:rows]
+    xyz = jax.device_put(jnp.asarray(clouds))
+    scales = ((0.1, 16), (0.2, 32))
+
+    t_fps = timeit(
+        lambda x: sum(c.sum() for c in furthest_point_sample_with_counts(x, 512, (0.1, 0.2))[1]), xyz
+    )
+
+    idx, counts = furthest_point_sample_with_counts(xyz, 512, (0.1, 0.2))
+    q = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+    bounds = _counts_to_bounds(scales, tuple(counts))
+    rng = np.random.default_rng(0)
+    params = []
+    for c1, c2 in ((64, 64), (64, 128)):
+        A = jax.device_put(jnp.asarray(rng.standard_normal((rows, 8000, c1)).astype(np.float32)).astype(jnp.bfloat16))
+        Bq = jax.device_put(jnp.asarray(rng.standard_normal((rows, 512, c1)).astype(np.float32)))
+        vecs = [jnp.asarray(rng.standard_normal((c,)).astype(np.float32)) for c in (c1, c1, c2, c2)]
+        W1 = jnp.asarray(rng.standard_normal((c1, c2)).astype(np.float32)).astype(jnp.bfloat16)
+        params.append((A, Bq, vecs[0], vecs[1], W1, vecs[2], vecs[3]))
+    params = tuple(params)
+    jax.block_until_ready(params)
+    t_sa1 = timeit(
+        lambda x, nq, p, b: ball_query_group_mlp_pallas_v4(scales, x, nq, p, b, False, None, 32, True),
+        xyz, q, params, bounds,
+    )
+
+    results = {"fps_with_counts": t_fps, "sa1_rel_v4": t_sa1}
+    ok = True
+    for k, v in results.items():
+        status = "OK" if v <= BUDGETS[k] else "REGRESSION"
+        if v > BUDGETS[k]:
+            ok = False
+        print(f"{k:24s} {v:8.2f} ms (budget {BUDGETS[k]:.1f}) {status}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -196,6 +196,71 @@ class TestFusedGroupMLPSorted:
             want = o.max(axis=2)
             np.testing.assert_allclose(np.asarray(outs[s]), want, rtol=1e-4, atol=1e-4)
 
+    def test_parity_v4_bounds_as_inputs(self):
+        """The v4 kernel (exact bounds as inputs, lazy in-loop d2/prefix,
+        carry-based ranks, chunk pairing when nch is even) is exactly the
+        index path. Bounds computed in f32 numpy — the same IEEE arithmetic
+        as the kernel's direct diff, hence exact."""
+        from or4d_tpu.ops.pallas_ball_query import ball_query_group_mlp_pallas_v4
+        from tests.test_fused_group import TestFusedGroupMLP, _setup
+
+        for seed, (N, M) in ((31, (1100, 640)), (35, (2100, 640))):  # nch 3 (odd), 5->hmm
+            B, C1, C2 = 1, 32, 48
+            xyz, new_xyz, A1 = _setup(seed, B, N, M, C1)
+            scales = ((0.15, 4), (0.3, 6))
+            A2 = _setup(seed + 1, B, N, M, C1)[2]
+            helper = TestFusedGroupMLP()
+            p1 = helper._params(seed + 2, C1, C2, M, B, xyz, new_xyz, A1)
+            p2 = helper._params(seed + 3, C1, 32, M, B, xyz, new_xyz, A2)
+
+            # exact bounds from f32 numpy distance counts
+            q = np.asarray(new_xyz, np.float32)
+            p = np.asarray(xyz, np.float32)
+            d = q[:, :, None, :] - p[:, None, :, :]
+            d2 = (d.astype(np.float32) ** 2).sum(-1, dtype=np.float32)
+            bounds = []
+            for r, ns in scales:
+                hit = d2 < np.float32(r * r)
+                chunks = np.add.reduceat(hit, np.arange(0, N, 512), axis=-1).astype(np.float32)
+                ccum = np.cumsum(chunks, axis=-1)
+                tot = ccum[..., -1]
+                thr = np.minimum(tot, float(ns))
+                need = (ccum < thr[..., None]).sum(-1) + 1.0
+                bounds.append((jnp.asarray(need, jnp.float32), jnp.asarray(thr, jnp.float32)))
+
+            outs = ball_query_group_mlp_pallas_v4(
+                scales, xyz, new_xyz, (p1, p2), tuple(bounds), True, None, 32
+            )
+            for s, ((r, ns), pp) in enumerate(zip(scales, (p1, p2))):
+                A, Bq, a0, b0, W1, a1, b1 = pp
+                idx = np.asarray(ball_query(r, ns, xyz, new_xyz))
+                g = np.take_along_axis(np.asarray(A)[:, :, None, :], idx[..., None], axis=1)
+                h = np.maximum((g - np.asarray(Bq)[:, :, None, :]) * np.asarray(a0) + np.asarray(b0), 0)
+                hw = h @ np.asarray(W1)
+                o = np.maximum(hw * np.asarray(a1) + np.asarray(b1), 0)
+                want = o.max(axis=2)
+                np.testing.assert_allclose(np.asarray(outs[s]), want, rtol=1e-4, atol=1e-4)
+
+    def test_sa_stage_v4_end_to_end(self):
+        """SetAbstractionMSG's v4 eval path (FPS-fused counts -> bounds ->
+        v4 kernel, interpret mode) equals the index path."""
+        from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
+
+        rng = np.random.default_rng(41)
+        B, N = 2, 1100
+        pc = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((B, N, 5)).astype(np.float32))
+        scales = (SAScale(0.15, 4, (16, 24)), SAScale(0.3, 6, (16, 16)))
+
+        kernel_mod = SetAbstractionMSG(npoint=128, scales=scales, fused_mode="eval_kernel",
+                                       kernel_interpret=True, eval_subtile=32)
+        index_mod = SetAbstractionMSG(npoint=128, scales=scales, fused_mode="index")
+        v = index_mod.init(jax.random.key(0), pc, feats, train=False)
+        nx_i, f_i = index_mod.apply(v, pc, feats, train=False)
+        nx_k, f_k = kernel_mod.apply(v, pc, feats, train=False)
+        np.testing.assert_allclose(np.asarray(nx_k), np.asarray(nx_i), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_i), rtol=1e-4, atol=1e-4)
+
     def test_parity_with_sort_and_gating(self):
         from or4d_tpu.ops.pallas_ball_query import ball_query_group_mlp_pallas
         from tests.test_fused_group import TestFusedGroupMLP, _setup
