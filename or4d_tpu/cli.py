@@ -42,11 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--task",
         default=None,
-        choices=["pose2d-train", "pose2d-infer", "pose3d-train", "detect-train"],
+        choices=["pose2d-train", "pose2d-infer", "pose3d-train", "pose3d-infer",
+                 "detect-train", "detect-infer"],
         help="perception mode: which L1 stage to run",
     )
     p.add_argument("--config", default="no_gt", help="builtin config name or JSON path")
     p.add_argument("--data-root", default="data")
+    p.add_argument("--cache-dir", default=None, help="ORDataset sample cache dir (default: /tmp/or4d_cache)")
+    p.add_argument("--strict-data", action="store_true",
+                   help="fail instead of synthesizing geometry for scans whose raw files are missing")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--split", default=None, help="infer/evaluate split (default: val for evaluate, test for infer)")
     p.add_argument("--epochs", type=int, default=None)
@@ -152,8 +156,20 @@ def run_graphormer_roles(args) -> int:
         tracks, frame_to_relations, data = make_synthetic_role_take(take_idx)
         assign_tracks = [{"timestamp_to_human_pose": t.timestamp_to_human_pose} for t in tracks]
     state = trainer.init_state(jax.random.key(args.seed), data[0][0])
-    state, losses = trainer.fit(state, data, epochs=args.epochs or 3)
-    print(f"trained on {len(data)} tracks: loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+    # reference auto-resume (entry.py:105-107): a checkpoint dir with a saved
+    # state means the model is trained — restore it and skip training, so a
+    # second invocation reproduces the role json without retraining
+    from or4d_tpu.train import checkpoint as g_ckpt
+
+    restored = False
+    if args.checkpoint_dir and g_ckpt.latest_step(args.checkpoint_dir) is not None:
+        state = g_ckpt.restore(args.checkpoint_dir, state)
+        print(f"restored graphormer checkpoint from {args.checkpoint_dir}; skipping training")
+        restored = True
+    if not restored:
+        state, losses = trainer.fit(state, data, epochs=args.epochs or 3,
+                                    checkpoint_dir=args.checkpoint_dir)
+        print(f"trained on {len(data)} tracks: loss {losses[0]:.3f} -> {losses[-1]:.3f}")
 
     # scores keyed by RAW track index (unscored tracks fall back to the
     # reference's default guess inside the assignment)
@@ -319,6 +335,50 @@ def run_perception(args) -> int:
                 ckpt.save(args.checkpoint_dir, state, step=epoch)
         return 0
 
+    if args.task == "pose3d-infer":
+        from or4d_tpu.data.voxelpose_dataset import VoxelPoseDataset
+        from or4d_tpu.pipeline.perception_infer import run_3d_pose_inference_for_take
+        from or4d_tpu.train.perception_trainers import VoxelPoseTrainer
+
+        ds = VoxelPoseDataset(args.data_root, split, pred_pose2d_path=args.pred_pose2d, inference=True)
+        tr = VoxelPoseTrainer()
+        import jax.numpy as jnp
+
+        cameras = {k: jnp.asarray(v) for k, v in ds.cameras.items()}
+        hs = jnp.asarray(ds.heatmap_scale)
+        state = tr.init_state(rng, jnp.asarray(ds.sample(0)["input_heatmaps"]), cameras, hs)
+        if args.checkpoint_dir and ckpt.latest_step(args.checkpoint_dir) is not None:
+            state = ckpt.restore(args.checkpoint_dir, state)
+        variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+        out_dir = Path(args.output_dir or (Path(args.data_root) / "OR_4D_outputs"))
+        total = 0
+        for take_idx in sorted({rec["take_idx"] for rec in ds.db}):
+            n = run_3d_pose_inference_for_take(tr.model, variables, ds, take_idx, out_dir)
+            print(f"take {take_idx}: {n} pred_*.npy frames -> {out_dir}")
+            total += n
+        print(f"wrote {total} pose files")
+        return 0
+
+    if args.task == "detect-infer":
+        from or4d_tpu.data.groupfree_dataset import GroupFreeDetectionDataset
+        from or4d_tpu.pipeline.perception_infer import run_detection_inference
+        from or4d_tpu.train.perception_trainers import GroupFreeTrainer
+
+        import jax.numpy as jnp
+
+        ds = GroupFreeDetectionDataset(args.data_root, split)
+        tr = GroupFreeTrainer()
+        b0 = ds.batch([0])
+        msa = ds.mean_size_arr()
+        state = tr.init_state(rng, jnp.asarray(b0["point_clouds"]), jnp.asarray(msa))
+        if args.checkpoint_dir and ckpt.latest_step(args.checkpoint_dir) is not None:
+            state = ckpt.restore(args.checkpoint_dir, state)
+        variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+        out_dir = Path(args.output_dir or (Path(args.data_root) / "group_free_predictions"))
+        n = run_detection_inference(tr.model, variables, ds, out_dir)
+        print(f"wrote {n} box npz files -> {out_dir}")
+        return 0
+
     if args.task == "pose3d-train":
         from or4d_tpu.data.voxelpose_dataset import VoxelPoseDataset
         from or4d_tpu.train.perception_trainers import VoxelPoseTrainer
@@ -407,7 +467,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     print(f"devices: {jax.devices()}")
 
-    train_ds = ORDataset(cfg, "train", vocab, data_root=args.data_root)
+    ds_kw = dict(data_root=args.data_root, cache_dir=args.cache_dir,
+                 synthetic_fallback=not args.strict_data)
+    train_ds = ORDataset(cfg, "train", vocab, **ds_kw)
     w_obj, w_rel = train_ds.weights()
     trainer = Trainer(cfg, vocab, w_obj, w_rel)
     batch_size = args.batch_size or cfg.tpu.scene_batch

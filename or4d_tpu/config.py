@@ -98,6 +98,10 @@ class ModelConfig:
             full_image_embedding_size=m.get("FULL_IMAGE_EMBEDDING_SIZE", 768),
             image_model=m.get("IMAGE_MODEL", False),
             image_size=m.get("IMAGE_SIZE", 456),
+            # TPU-build extension keys (absent from reference configs):
+            # scaled-down encoder shapes for smoke/CI runs
+            sa_npoints=tuple(m.get("sa_npoints", (512, 128))),
+            sa_nsamples=tuple(tuple(s) for s in m.get("sa_nsamples", ((16, 32), (32, 64)))),
         )
 
 

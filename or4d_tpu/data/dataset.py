@@ -111,7 +111,10 @@ class ORDataset:
         self.for_eval = for_eval
         self.data_root = Path(data_root)
         suffix = self.ds.dataset_suffix + ("" if cfg.use_gt else "_no_gt") + ("_eval" if for_eval else "")
-        self.cache_dir = Path(cache_dir) if cache_dir else Path(f"/tmp/or4d_cache/scene_graph_cache{suffix}")
+        # an explicit cache_dir is a BASE dir: the config-dependent suffix
+        # still applies so gt/no-gt/eval variants never collide
+        base = Path(cache_dir) if cache_dir else Path("/tmp/or4d_cache")
+        self.cache_dir = base / f"scene_graph_cache{suffix}"
         self.cache_dir.mkdir(parents=True, exist_ok=True)
 
         scans = load_relationship_scans(self.data_root, split)
@@ -129,12 +132,38 @@ class ORDataset:
                     }
                     scan["relationships"] = []
         scans = filter_scans(scans, vocab, split, self.ds.max_objects)
+        self.synthetic_scan_list = False
         if not scans and synthetic_fallback:
             scans = self._synthetic_scan_list(synthetic_scans_per_take)
+            self.synthetic_scan_list = True
         self.scans = scans
         self._human_joints_cache: dict = {}
         if not self.scans:
             raise RuntimeError(f"no scans for split {split} under {self.data_root}")
+        # loud data provenance: a partially present real dataset must never
+        # silently train/evaluate on fabricated geometry (see sample()'s
+        # per-scan has_raw_scan fallback)
+        self.synthetic_fallback = synthetic_fallback
+        self.n_real = sum(
+            1 for s in self.scans
+            if not self.synthetic_scan_list
+            and ingest.has_raw_scan(self.data_root, s["take_idx"], s["scan"], cfg.use_gt)
+        )
+        self.n_synthetic = len(self.scans) - self.n_real
+        origin = "SYNTHETIC scan list (no relationships json)" if self.synthetic_scan_list else (
+            f"{self.n_real} real / {self.n_synthetic} synthetic-geometry scans"
+        )
+        print(f"ORDataset[{split}, {cfg.name}]: {len(self.scans)} scans — {origin}")
+        if not synthetic_fallback and self.n_synthetic:
+            example = next(
+                s for s in self.scans
+                if not ingest.has_raw_scan(self.data_root, s["take_idx"], s["scan"], cfg.use_gt)
+            )
+            raise RuntimeError(
+                f"synthetic_fallback=False but {self.n_synthetic} scans have no raw "
+                f"geometry under {self.data_root} (e.g. take {example['take_idx']} "
+                f"scan {example['scan']})"
+            )
 
     def _synthetic_scan_list(self, per_take: int) -> list[dict]:
         """GT-format scan entries drawn from a seeded generator — used when

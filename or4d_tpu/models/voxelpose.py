@@ -212,33 +212,47 @@ class VoxelPose(nn.Module):
     num_joints: int = NUM_JOINTS
     beta: float = 100.0
     threshold: float = 0.1
+    # reference geometry (configs/4d_or/config.yaml); overridable so tests
+    # and small deployments can shrink the voxel grids without touching the
+    # architecture
+    space_size: tuple = SPACE_SIZE
+    space_center: tuple = SPACE_CENTER
+    initial_cube: tuple = INITIAL_CUBE
+    fine_grid: tuple = FINE_GRID
+    fine_cube: tuple = FINE_CUBE
+    max_people: int = MAX_PEOPLE
 
     @nn.compact
     def __call__(self, heatmaps, cameras, heatmap_scale, train: bool = True):
         """heatmaps (C, J, H, W); cameras dict of stacked per-camera params.
         Returns (poses (K, J, 3), scores (K,), root_cube (80,80,80))."""
-        coarse_grid = compute_grid(SPACE_SIZE, SPACE_CENTER, INITIAL_CUBE)
+        coarse_grid = compute_grid(self.space_size, self.space_center, self.initial_cube)
         cube = project_heatmaps_to_cube(heatmaps, cameras, coarse_grid, heatmap_scale)
-        cube = cube.reshape(self.num_joints, *INITIAL_CUBE)
+        cube = cube.reshape(self.num_joints, *self.initial_cube)
 
         root = V2VNet(1, name="proposal_v2v")(
             jnp.transpose(cube, (1, 2, 3, 0))[None], train
         )[0, ..., 0]  # (80, 80, 80)
-        scores, vox_idx = nms_topk(root, MAX_PEOPLE)
-        centers = voxel_to_world(vox_idx)
+        scores, vox_idx = nms_topk(root, self.max_people)
+        centers = voxel_to_world(vox_idx, self.initial_cube, self.space_size, self.space_center)
 
-        pose_v2v = V2VNet(self.num_joints, name="pose_v2v")
-
-        def regress_one(center):
-            grid = compute_grid(FINE_GRID, center, FINE_CUBE)
+        def project_one(center):
+            grid = compute_grid(self.fine_grid, center, self.fine_cube)
             fine = project_heatmaps_to_cube(heatmaps, cameras, grid, heatmap_scale)
-            fine = fine.reshape(self.num_joints, *FINE_CUBE)
-            out = pose_v2v(jnp.transpose(fine, (1, 2, 3, 0))[None], train)[0]  # (56,56,56,J)
-            logits = jnp.transpose(out, (3, 0, 1, 2)).reshape(self.num_joints, -1)
-            w = jax.nn.softmax(self.beta * logits, axis=1)  # soft-argmax
-            return w @ grid  # (J, 3)
+            return jnp.transpose(fine.reshape(self.num_joints, *self.fine_cube), (1, 2, 3, 0)), grid
 
-        poses = jax.vmap(regress_one)(centers)  # (K, J, 3)
+        # projection is pure -> vmap; the V2V net runs ONCE with the K
+        # proposals as its batch axis (a flax module with BatchNorm cannot be
+        # jax.vmap'ed in train mode — the batch_stats mutation escapes the
+        # trace). Deviation from the reference's per-proposal loop: train-mode
+        # BN statistics pool over all K proposals instead of per-proposal
+        # batches of 1 (eval mode uses running stats and is exactly
+        # equivalent).
+        fine, grids = jax.vmap(project_one)(centers)  # (K, D, H, W, J), (K, nbins, 3)
+        out = V2VNet(self.num_joints, name="pose_v2v")(fine, train)  # (K, D, H, W, J)
+        logits = jnp.transpose(out, (0, 4, 1, 2, 3)).reshape(centers.shape[0], self.num_joints, -1)
+        w = jax.nn.softmax(self.beta * logits, axis=-1)  # soft-argmax
+        poses = jnp.einsum("kjn,knd->kjd", w, grids)  # (K, J, 3)
         return poses, scores, centers, root
 
 

@@ -78,14 +78,16 @@ def infer_2d_poses(model, variables, images_by_key: dict[str, np.ndarray], max_p
     return out
 
 
-def infer_3d_poses(model, variables, heatmaps: np.ndarray, cameras: dict, heatmap_scale, out_path: str | Path, threshold: float = 0.1) -> np.ndarray:
-    """VoxelPose forward -> (P, 14, 3) world poses; writes pred_*.npy."""
+def infer_3d_poses(model, variables, heatmaps: np.ndarray, cameras: dict, heatmap_scale, out_path: str | Path, threshold: float = 0.1, fwd=None) -> np.ndarray:
+    """VoxelPose forward -> (P, 14, 3) world poses; writes pred_*.npy.
+    Pass a pre-jitted ``fwd(variables, heatmaps)`` when calling per frame —
+    a fresh lambda per call would retrace every frame."""
     import jax
     import jax.numpy as jnp
 
-    poses, scores, _centers, _root = jax.jit(lambda v, h: model.apply(v, h, cameras, jnp.asarray(heatmap_scale), train=False))(
-        variables, jnp.asarray(heatmaps)
-    )
+    if fwd is None:
+        fwd = jax.jit(lambda v, h: model.apply(v, h, cameras, jnp.asarray(heatmap_scale), train=False))
+    poses, scores, _centers, _root = fwd(variables, jnp.asarray(heatmaps))
     poses = np.asarray(poses)
     scores = np.asarray(scores)
     keep = scores > threshold
@@ -94,25 +96,85 @@ def infer_3d_poses(model, variables, heatmaps: np.ndarray, cameras: dict, heatma
     return result
 
 
-def infer_boxes(model, variables, point_cloud: np.ndarray, mean_size_arr: np.ndarray, out_path: str | Path, nms_iou: float = 0.25, score_threshold: float = 0.05) -> dict:
-    """Group-Free forward -> NMS'd boxes npz in the reference dict format."""
+def run_3d_pose_inference_for_take(model, variables, dataset, take_idx: int, out_dir: str | Path, threshold: float = 0.1) -> int:
+    """Per-take VoxelPose inference driver (get_human_poses_4D_OR.py:41-112):
+    enumerate the take's frames, run the jitted forward (hoisted once — TPU
+    compiles are expensive), and dump `pred_{take}_{frame}.npy` per frame
+    with at least one confident person; empty frames are skipped exactly like
+    the reference (`if len(pred) == 0: continue`, :106-107). Returns the
+    number of files written."""
+    import jax
+    import jax.numpy as jnp
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cameras = {k: jnp.asarray(v) for k, v in dataset.cameras.items()}
+    hs = jnp.asarray(dataset.heatmap_scale)
+    fwd = jax.jit(lambda v, h: model.apply(v, h, cameras, hs, train=False))
+    written = 0
+    for i, rec in enumerate(dataset.db):
+        if rec["take_idx"] != take_idx:
+            continue
+        sample = dataset.sample(i)
+        poses, scores, _c, _r = fwd(variables, jnp.asarray(sample["input_heatmaps"]))
+        keep = np.asarray(scores) > threshold
+        result = np.asarray(poses)[keep]
+        if len(result) == 0:
+            continue
+        np.save(out_dir / f"pred_{take_idx}_{rec['pcd_idx']}.npy", result)
+        written += 1
+    return written
+
+
+def infer_boxes(model, variables, point_cloud: np.ndarray, mean_size_arr: np.ndarray, out_path: str | Path, nms_iou: float = 0.25, score_threshold: float = 0.05, fwd=None) -> dict:
+    """Group-Free forward -> boxes npz in the reference dict format
+    (ap_helper.dump_predictions :263-322): both the confidence-filtered set
+    (bboxes/scores/classes) and the additionally-NMS'd set (*_nms keys —
+    what compute_instance_labels consumes). Pass a pre-jitted ``fwd`` when
+    calling per scan."""
     import jax
     import jax.numpy as jnp
 
     from or4d_tpu.models.groupfree import decode_boxes, nms_3d_samecls
 
-    out = jax.jit(lambda v, pc: model.apply(v, pc, jnp.asarray(mean_size_arr), train=False))(
-        variables, jnp.asarray(point_cloud[None])
-    )
+    if fwd is None:
+        fwd = jax.jit(lambda v, pc: model.apply(v, pc, jnp.asarray(mean_size_arr), train=False))
+    out = fwd(variables, jnp.asarray(point_cloud[None]))
     center, size, heading, cls, score = decode_boxes(out["last"], mean_size_arr)
     center, size, heading, cls, score = map(lambda x: np.asarray(x)[0], (center, size, heading, cls, score))
     ok = score > score_threshold
     center, size, heading, cls, score = center[ok], size[ok], heading[ok], cls[ok], score[ok]
+    boxes7_all = np.concatenate([center, size, heading[:, None]], axis=1)
     keep = nms_3d_samecls(center, size, score, headings=heading, classes=cls, iou_threshold=nms_iou)
     boxes7 = np.concatenate([center[keep], size[keep], heading[keep, None]], axis=1)
-    result = {"classes_nms": cls[keep], "bboxes_nms": boxes7, "scores_nms": score[keep]}
+    result = {
+        "bboxes": boxes7_all, "scores": score, "classes": cls,
+        "classes_nms": cls[keep], "bboxes_nms": boxes7, "scores_nms": score[keep],
+    }
     np.savez_compressed(out_path, result)
     return result
+
+
+def run_detection_inference(model, variables, dataset, out_dir: str | Path, nms_iou: float = 0.25, score_threshold: float = 0.05) -> int:
+    """Per-split Group-Free inference driver (infer.py:153-226): enumerate
+    the dataset's scans, run the jitted forward once per scan (hoisted), and
+    write `group_free_predictions/{take}_{scan}.npz` per scan. Returns the
+    number of files written."""
+    import jax
+    import jax.numpy as jnp
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    msa = np.asarray(dataset.mean_size_arr())
+    fwd = jax.jit(lambda v, pc: model.apply(v, pc, jnp.asarray(msa), train=False))
+    written = 0
+    for i in range(len(dataset)):
+        ret = dataset[i]
+        infer_boxes(model, variables, np.asarray(ret["point_clouds"], np.float32), msa,
+                    out_dir / f"{ret['scan_name']}.npz", nms_iou=nms_iou,
+                    score_threshold=score_threshold, fwd=fwd)
+        written += 1
+    return written
 
 
 def load_boxes_npz(path: str | Path) -> dict:

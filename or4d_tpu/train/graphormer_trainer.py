@@ -144,9 +144,14 @@ class GraphormerTrainer:
         scores = np.asarray(self._score(state["params"], batch))
         return {name: float(scores[i]) for i, name in enumerate(ROLE_NAMES)}
 
-    def fit(self, state, tracks: list[tuple[GraphormerBatch, int]], epochs: int = 1, rng: jax.Array | None = None, balance: bool = True):
+    def fit(self, state, tracks: list[tuple[GraphormerBatch, int]], epochs: int = 1, rng: jax.Array | None = None, balance: bool = True, checkpoint_dir=None):
         """``tracks``: (batch, role_label) pairs; weighted sampling balances
-        role frequencies (reference WeightedRandomSampler)."""
+        role frequencies (reference WeightedRandomSampler). With
+        ``checkpoint_dir`` the state is saved after every epoch — the
+        equivalent of the reference's ModelCheckpoint(save_last=True) +
+        last.ckpt auto-resume (entry.py:95-107)."""
+        from or4d_tpu.train import checkpoint as ckpt
+
         rng = rng if rng is not None else jax.random.key(0)
         labels = np.array([t[1] for t in tracks])
         if balance and len(tracks) > 1:
@@ -157,13 +162,15 @@ class GraphormerTrainer:
             p = None
         nrng = np.random.default_rng(0)
         losses = []
-        for _ in range(epochs):
+        for epoch in range(epochs):
             order = nrng.choice(len(tracks), size=len(tracks), replace=balance, p=p)
             for i in order:
                 rng, key = jax.random.split(rng)
                 batch, label = tracks[int(i)]
                 state, loss = self.train_step(state, batch, label, key)
                 losses.append(float(loss))
+            if checkpoint_dir is not None:
+                ckpt.save(checkpoint_dir, state, step=epoch)
         return state, losses
 
 

@@ -153,6 +153,15 @@ class Trainer:
             return SlotPack.build(batch)
         dp = self.mesh.shape["dp"]
         if self.mesh.shape["mp"] != 1 or batch.num_scenes % dp:
+            if self.mesh.shape["mp"] != 1 and not getattr(self, "_warned_mp_pack", False):
+                print(
+                    "WARNING: slot packing is disabled on mp>1 meshes — padded "
+                    "object/edge slots run through the encoders (~45% extra work "
+                    "at paper shapes). Prefer dp-only meshes for this model; its "
+                    "slot axes are small enough that mp adds communication, not "
+                    "memory headroom (train/loop.py:_pack_for)."
+                )
+                self._warned_mp_pack = True
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -92,11 +92,13 @@ class VoxelPoseTrainer:
 
     lr: float = 1e-4
     patient_weight: float = 4.0
+    # VoxelPose field overrides (grid sizes, max_people) — reference defaults
+    model_kwargs: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         from or4d_tpu.models.voxelpose import VoxelPose
 
-        self.model = VoxelPose()
+        self.model = VoxelPose(**self.model_kwargs)
         self.tx = optax.adam(self.lr)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 

@@ -1,0 +1,221 @@
+"""Full-model activation parity: imported SGPN vs the reference torch graph.
+
+Module-level parity tests (test_torch_import.py) can miss composition errors
+— a transposed mapping that cancels, a permuted scale order, a head fed from
+the wrong feature. This test closes that gap: one synthesized
+reference-layout state_dict drives BOTH
+  * our flax SGPN through `utils.torch_import.import_sgpn_state_dict`, and
+  * a functional torch-f64 mirror of the reference forward graph
+    (pointnet2_modules.py:29-115 SA semantics, network_TripletGCN.py:30-80,
+    network_PointNet.py:188-271 heads, scene_graph_prediction_model.py:87-109
+    wiring), with FPS/ball-query neighborhoods from the numpy oracles,
+and asserts end-to-end logit parity on one batch.
+"""
+
+import jax
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from or4d_tpu.config import DatasetConfig
+from or4d_tpu.data.synthetic import make_scene_batch
+from or4d_tpu.models import SGPN
+from or4d_tpu.utils.torch_import import import_sgpn_state_dict
+from tests.reference_impls import ball_query_np, fps_np
+
+SA_NPOINTS = (32, 16)
+SA_SCALES = (
+    # SA1/SA2 (radius, nsample) pairs at CI sizes; widths are the paper's
+    ((0.1, 4), (0.2, 8)),
+    ((0.2, 8), (0.4, 8)),
+)
+ENC_SPECS = {
+    0: {0: [None, 64, 64], 1: [None, 64, 128]},
+    1: {0: [64 + 128 + 3, 128, 128], 1: [64 + 128 + 3, 128, 128]},
+    2: {0: [128 + 128 + 3, 256, 256]},
+}
+
+
+def build_state_dict(rng) -> dict:
+    sd = {}
+
+    def conv_bn(prefix, cin, cout):
+        sd[f"{prefix}.weight"] = rng.standard_normal((cout, cin, 1, 1)).astype(np.float32) * 0.2
+
+    def bn(prefix, c, running=True):
+        sd[f"{prefix}.weight"] = (1.0 + 0.1 * rng.standard_normal(c)).astype(np.float32)
+        sd[f"{prefix}.bias"] = (0.1 * rng.standard_normal(c)).astype(np.float32)
+        if running:
+            sd[f"{prefix}.running_mean"] = (0.1 * rng.standard_normal(c)).astype(np.float32)
+            sd[f"{prefix}.running_var"] = np.abs(rng.standard_normal(c)).astype(np.float32) * 0.2 + 0.8
+
+    def linear(prefix, cin, cout):
+        sd[f"{prefix}.weight"] = rng.standard_normal((cout, cin)).astype(np.float32) * 0.05
+        sd[f"{prefix}.bias"] = (0.05 * rng.standard_normal(cout)).astype(np.float32)
+
+    for enc, in_dim in (("obj_encoder", 6), ("rel_encoder", 7)):
+        for s, ks in ENC_SPECS.items():
+            for k, widths in ks.items():
+                widths = [in_dim if w is None else w for w in widths]
+                for l in range(len(widths) - 1):
+                    conv_bn(f"{enc}.backbone.SA_modules.{s}.mlps.{k}.{3*l}", widths[l], widths[l + 1])
+                    bn(f"{enc}.backbone.SA_modules.{s}.mlps.{k}.{3*l+1}", widths[l + 1])
+    for i in range(2):
+        linear(f"gcn.gconvs.{i}.nn1.0", 256 * 2 + 256, 512)
+        bn(f"gcn.gconvs.{i}.nn1.1", 512, running=False)
+        linear(f"gcn.gconvs.{i}.nn1.3", 512, 512 * 2 + 256)
+        bn(f"gcn.gconvs.{i}.nn1.4", 512 * 2 + 256, running=False)
+        linear(f"gcn.gconvs.{i}.nn2.0", 512, 512)
+        bn(f"gcn.gconvs.{i}.nn2.1", 512, running=False)
+        linear(f"gcn.gconvs.{i}.nn2.3", 512, 256)
+    linear("obj_predictor.fc1", 256, 512)
+    linear("obj_predictor.fc2", 512, 256)
+    linear("obj_predictor.fc3", 256, 12)
+    linear("rel_predictor.fc1", 256, 512)
+    linear("rel_predictor.fc2", 512, 256)
+    linear("rel_predictor.fc3", 256 + 12, 15)
+    return sd
+
+
+# ----------------------------------------------------------- torch-f64 mirror
+
+def _t(sd, key):
+    return torch.from_numpy(np.asarray(sd[key])).double()
+
+
+def _conv_stack(sd, prefix, nlayers, x):
+    """x (..., C) channel-last; reference 1x1 Conv2d+BatchNorm2d(eval)+ReLU."""
+    for l in range(nlayers):
+        w = _t(sd, f"{prefix}.{3*l}.weight")[:, :, 0, 0]  # (cout, cin)
+        x = x @ w.T
+        x = F.batch_norm(
+            x.reshape(-1, x.shape[-1]),
+            _t(sd, f"{prefix}.{3*l+1}.running_mean"),
+            _t(sd, f"{prefix}.{3*l+1}.running_var"),
+            _t(sd, f"{prefix}.{3*l+1}.weight"),
+            _t(sd, f"{prefix}.{3*l+1}.bias"),
+            training=False,
+        ).reshape(x.shape)
+        x = F.relu(x)
+    return x
+
+
+def torch_encoder(sd, enc, pc):
+    """Reference PointNet2ClassificationMSG forward (SA stages + GroupAll),
+    eval mode; pc (R, P, C) numpy."""
+    xyz = pc[..., :3].astype(np.float64)
+    feats = torch.from_numpy(pc[..., 3:].astype(np.float64))
+    for s, (npoint, scales) in enumerate(zip(SA_NPOINTS, SA_SCALES)):
+        idx = fps_np(xyz, npoint)  # (R, npoint)
+        new_xyz = np.take_along_axis(xyz, idx[..., None], axis=1)
+        outs = []
+        for k, (radius, nsample) in enumerate(scales):
+            qidx = ball_query_np(radius, nsample, xyz, new_xyz)  # (R, M, ns)
+            g_xyz = np.take_along_axis(
+                xyz[:, :, None, :], qidx[..., None], axis=1
+            ) - new_xyz[:, :, None, :]
+            g_feat = torch.from_numpy(
+                np.take_along_axis(np.asarray(feats)[:, :, None, :], qidx[..., None], axis=1)
+            )
+            grouped = torch.cat([torch.from_numpy(g_xyz), g_feat], dim=-1)
+            nlayers = len(ENC_SPECS[s][k]) - 1
+            h = _conv_stack(sd, f"{enc}.backbone.SA_modules.{s}.mlps.{k}", nlayers, grouped)
+            outs.append(h.max(dim=2).values)  # (R, M, C)
+        xyz = new_xyz
+        feats = torch.cat(outs, dim=-1)
+    # SA3: GroupAll — concat xyz + features over every point, mlp, global max
+    g = torch.cat([torch.from_numpy(xyz), feats], dim=-1)
+    h = _conv_stack(sd, f"{enc}.backbone.SA_modules.2.mlps.0", 2, g)
+    return h.max(dim=1).values  # (R, 256)
+
+
+def _gcn_mlp(sd, prefix, layers, x, on_last):
+    """build_mlp: Linear -> BN1d(track_running_stats=False: BATCH stats, even
+    in eval) -> ReLU, skipped on the final layer unless on_last."""
+    n = len(layers)
+    for i, lin_idx in enumerate(layers):
+        w = _t(sd, f"{prefix}.{lin_idx}.weight")
+        b = _t(sd, f"{prefix}.{lin_idx}.bias")
+        x = x @ w.T + b
+        if i < n - 1 or on_last:
+            bn_idx = lin_idx + 1
+            mean = x.mean(dim=0)
+            var = x.var(dim=0, unbiased=False)
+            x = (x - mean) / torch.sqrt(var + 1e-5)
+            x = x * _t(sd, f"{prefix}.{bn_idx}.weight") + _t(sd, f"{prefix}.{bn_idx}.bias")
+            x = F.relu(x)
+    return x
+
+
+def torch_gcn(sd, x, e, edge_index, num_layers=2, hidden=512, dim_edge=256):
+    """TripletGCN forward (network_TripletGCN.py:40-58): torch_geometric
+    default flow source_to_target — x_i is the TARGET (edge_index row 1),
+    x_j the SOURCE (row 0); aggregation scatter-adds messages at targets."""
+    src = torch.from_numpy(edge_index[:, 0]).long()
+    dst = torch.from_numpy(edge_index[:, 1]).long()
+    for i in range(num_layers):
+        triplet = torch.cat([x[dst], e, x[src]], dim=1)
+        h = _gcn_mlp(sd, f"gcn.gconvs.{i}.nn1", [0, 3], triplet, on_last=True)
+        dx_i, new_e, dx_j = h[:, :hidden], h[:, hidden : hidden + dim_edge], h[:, hidden + dim_edge :]
+        msg = dx_i + dx_j
+        agg = torch.zeros((x.shape[0], hidden), dtype=torch.float64)
+        agg.index_add_(0, dst, msg)
+        x = _gcn_mlp(sd, f"gcn.gconvs.{i}.nn2", [0, 3], agg, on_last=False)
+        e = new_e
+        if i < num_layers - 1:
+            x = F.relu(x)
+            e = F.relu(e)
+    return x, e
+
+
+def torch_head(sd, prefix, x, onehot=None):
+    x = F.relu(x @ _t(sd, f"{prefix}.fc1.weight").T + _t(sd, f"{prefix}.fc1.bias"))
+    x = x @ _t(sd, f"{prefix}.fc2.weight").T + _t(sd, f"{prefix}.fc2.bias")
+    x = F.relu(x)  # dropout inactive in eval
+    if onehot is not None:
+        x = torch.cat([x, torch.from_numpy(onehot).double()], dim=1)
+    x = x @ _t(sd, f"{prefix}.fc3.weight").T + _t(sd, f"{prefix}.fc3.bias")
+    return F.log_softmax(x, dim=-1)
+
+
+class TestFullModelActivationParity:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        # every slot valid (n_objects == max_objects) so masked statistics
+        # coincide with the reference's ragged batch-of-1 exactly
+        tiny = DatasetConfig(num_points_objects=96, num_points_relation=128,
+                             max_objects=4, max_edges=12, data_augmentation=False)
+        batch = make_scene_batch(1, seed=7, n_objects=4, ds=tiny, points_per_obj=150)
+        assert bool(np.asarray(batch.obj_mask).all()) and bool(np.asarray(batch.edge_mask).all())
+        model = SGPN(num_classes=12, num_relations=15, sa_npoints=SA_NPOINTS,
+                     sa_nsamples=tuple(tuple(ns for _r, ns in sc) for sc in SA_SCALES))
+        variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False)
+        sd = build_state_dict(np.random.default_rng(11))
+        imported = import_sgpn_state_dict(sd, variables)
+        out = model.apply(imported, batch, train=False)
+        return sd, batch, out
+
+    def test_logits_match_reference_graph(self, setup):
+        sd, batch, out = setup
+        obj_pc = np.asarray(batch.obj_points)[0]  # (O, P, 6)
+        rel_pc = np.asarray(batch.rel_points)[0]  # (E, P, 7)
+        edge_index = np.asarray(batch.edge_index)[0]
+        onehot = np.asarray(batch.rel_onehot)[0]
+
+        obj_feat = torch_encoder(sd, "obj_encoder", obj_pc)
+        rel_feat = torch_encoder(sd, "rel_encoder", rel_pc)
+        gcn_x, gcn_e = torch_gcn(sd, obj_feat, rel_feat, edge_index)
+        obj_lp = torch_head(sd, "obj_predictor", gcn_x)
+        rel_lp = torch_head(sd, "rel_predictor", gcn_e, onehot=onehot)
+
+        got_obj = np.asarray(out.obj_logprobs)[0]
+        got_rel = np.asarray(out.rel_logprobs)[0]
+        want_obj = obj_lp.numpy()
+        want_rel = rel_lp.numpy()
+        # f32 flax vs f64 torch: composition errors are O(1); float noise
+        # through the 512-wide chains stays well under these tolerances
+        np.testing.assert_allclose(got_obj, want_obj, atol=5e-3, rtol=1e-3)
+        np.testing.assert_allclose(got_rel, want_rel, atol=5e-3, rtol=1e-3)
+        assert (got_obj.argmax(-1) == want_obj.argmax(-1)).all()
+        assert (got_rel.argmax(-1) == want_rel.argmax(-1)).all()

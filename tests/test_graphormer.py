@@ -188,3 +188,54 @@ class TestRoleInterchangeFormat:
         roles, _ = assign_roles_in_frame("000000", tracks, {})
         best = max(DEFAULT_GUESS.items(), key=lambda x: x[1])[0]
         assert roles == {"human_0": best}
+
+
+class TestCheckpointResume:
+    """Reference auto-resume (entry.py:95-107): fit saves per epoch; a second
+    invocation restores and reproduces scores without training."""
+
+    def test_fit_saves_and_restore_reproduces_scores(self, tmp_path):
+        import functools
+
+        from or4d_tpu.pipeline.role_dataset import make_synthetic_role_take
+        from or4d_tpu.train import checkpoint as ckpt
+        from or4d_tpu.train.graphormer_trainer import GraphormerTrainer
+
+        _tracks, _f2r, data = make_synthetic_role_take(1, n_frames=3, max_graphs=3)
+        trainer = GraphormerTrainer(n_layers=2, hidden=16, ffn=16, heads=4)
+        state = trainer.init_state(jax.random.key(0), data[0][0])
+        cdir = tmp_path / "gck"
+        state, _ = trainer.fit(state, data, epochs=2, checkpoint_dir=cdir)
+        assert ckpt.latest_step(cdir) == 1  # one save per epoch, last wins
+
+        fresh = trainer.init_state(jax.random.key(1), data[0][0])
+        restored = ckpt.restore(cdir, fresh)
+        for b, _l in data:
+            a = trainer.score_track(state, b)
+            r = trainer.score_track(restored, b)
+            assert a == r
+
+    def test_cli_second_invocation_skips_training(self, tmp_path, monkeypatch, capsys):
+        import functools
+        import json as _json
+
+        from or4d_tpu import cli
+        from or4d_tpu.train import graphormer_trainer as gt
+
+        monkeypatch.setattr(
+            gt, "GraphormerTrainer",
+            functools.partial(gt.GraphormerTrainer, n_layers=2, hidden=16, ffn=16, heads=4),
+        )
+        monkeypatch.chdir(tmp_path)
+        argv = ["graphormer-roles", "--epochs", "1", "--seed", "0",
+                "--checkpoint-dir", str(tmp_path / "ck"),
+                "--output", str(tmp_path / "roles.json"),
+                "--data-root", str(tmp_path / "nodata")]
+        assert cli.main(argv) == 0
+        first = _json.loads((tmp_path / "roles.json").read_text())
+        capsys.readouterr()
+        assert cli.main(argv) == 0
+        out = capsys.readouterr().out
+        assert "skipping training" in out
+        second = _json.loads((tmp_path / "roles.json").read_text())
+        assert first == second

@@ -106,3 +106,37 @@ class TestShardedPack:
             float(parts_packed["loss"]), float(parts_plain["loss"]), rtol=2e-4
         )
 
+    def test_mp2_unpacked_loss_matches_dp4_packed(self, capsys):
+        """mp>1 silently disables packing (slot axes are mp-sharded); the
+        decision is now LOUD and, critically, numerically neutral: the same
+        batch/state/key on a dp=2 x mp=2 mesh (unpacked) must produce the
+        dp=4 packed loss."""
+        from or4d_tpu.config import ExperimentConfig, ModelConfig, TPUConfig
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.train.loop import Trainer
+
+        import dataclasses
+
+        base = dict(
+            dataset=dataclasses.replace(TINY, data_augmentation=False),
+            model=ModelConfig(sa_npoints=(16, 8), sa_nsamples=((4, 8), (8, 8))),
+        )
+        batch = make_scene_batch(4, seed=5, n_objects=4, ds=TINY, points_per_obj=150)
+        key = jax.random.key(2)
+
+        cfg_dp = ExperimentConfig(tpu=TPUConfig(scene_batch=4, mesh_data=4, mesh_model=1, donate_state=False), **base)
+        tr_dp = Trainer(cfg_dp, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        state_dp = tr_dp.init_state(jax.random.key(0), batch)
+        assert tr_dp._pack_for(batch) is not None
+        _, parts_dp, _ = tr_dp.train_step(state_dp, batch, key)
+
+        cfg_mp = ExperimentConfig(tpu=TPUConfig(scene_batch=4, mesh_data=2, mesh_model=2, donate_state=False), **base)
+        tr_mp = Trainer(cfg_mp, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        assert tr_mp.mesh.shape["mp"] == 2
+        state_mp = tr_mp.init_state(jax.random.key(0), batch)
+        assert tr_mp._pack_for(batch) is None  # packing skipped, loudly
+        assert "slot packing is disabled" in capsys.readouterr().out
+        _, parts_mp, _ = tr_mp.train_step(state_mp, batch, key)
+
+        np.testing.assert_allclose(float(parts_dp["loss"]), float(parts_mp["loss"]), rtol=2e-4)
+

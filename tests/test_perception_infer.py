@@ -26,9 +26,10 @@ class TestFormats:
         variables = model.init(jax.random.key(0), pc, jnp.asarray(mean_sizes), train=False)
         out_path = tmp_path / "2_000001.npz"
         result = pi.infer_boxes(model, variables, np.asarray(pc[0]), mean_sizes, out_path, score_threshold=0.0)
-        # reference read pattern (compute_instance_labels.py:158-162)
+        # reference dump keys (ap_helper.py:309-314) + read pattern
+        # (compute_instance_labels.py:158-162)
         loaded = pi.load_boxes_npz(out_path)
-        assert set(loaded) == {"classes_nms", "bboxes_nms", "scores_nms"}
+        assert set(loaded) == {"bboxes", "scores", "classes", "classes_nms", "bboxes_nms", "scores_nms"}
         assert loaded["bboxes_nms"].shape[1] == 7
         assert len(loaded["classes_nms"]) == len(loaded["scores_nms"]) == len(loaded["bboxes_nms"])
         np.testing.assert_allclose(loaded["bboxes_nms"], result["bboxes_nms"])

@@ -32,9 +32,34 @@ class TestHigherHRNetTrainer:
 
 
 class TestVoxelPoseTrainer:
-    @pytest.mark.skip(reason="full 80^3 V2V init too heavy for CI; covered by model tests")
     def test_one_step(self):
-        pass
+        """Tiny-grid VoxelPose (the grids are config fields; architecture
+        unchanged) — one patient-weighted step runs and updates params."""
+        from or4d_tpu.train.perception_trainers import VoxelPoseTrainer
+
+        tr = VoxelPoseTrainer(model_kwargs=dict(
+            initial_cube=(12, 12, 12), fine_cube=(8, 8, 8), max_people=3))
+        rng = np.random.default_rng(3)
+        C, J = 2, 14
+        heatmaps = jnp.asarray(rng.random((C, J, 19, 25)).astype(np.float32))
+        cameras = {
+            "R": jnp.asarray(np.stack([np.eye(3)] * C).astype(np.float32)),
+            "T": jnp.asarray(np.array([[0, 0, -6000.0], [500, 0, -6000.0]], np.float32)),
+            "f": jnp.asarray(np.full((C, 2), 800.0, np.float32)),
+            "c": jnp.asarray(np.full((C, 2), 1000.0, np.float32)),
+            "size": jnp.asarray(np.full((C, 2), 2048.0, np.float32)),
+        }
+        hs = jnp.asarray(np.array([25 / 2048.0, 19 / 2048.0], np.float32))
+        state = tr.init_state(jax.random.key(0), heatmaps, cameras, hs)
+        gt_roots = jnp.asarray(np.array([[0.0, 500.0, 0.0], [0, 0, 0], [0, 0, 0]], np.float32))
+        gt_poses = jnp.asarray(rng.normal(scale=400, size=(3, J, 3)).astype(np.float32))
+        gt_vis = jnp.ones((3, J), jnp.float32)
+        gt_mask = jnp.asarray([True, False, False])
+        patient = jnp.asarray([True, False, False])
+        params_before = jax.tree_util.tree_map(np.asarray, state["params"])
+        state, loss, _ = tr.train_step(state, heatmaps, cameras, hs, gt_roots, gt_poses, gt_vis, gt_mask, patient)
+        assert np.isfinite(float(loss))
+        assert _changed(params_before, state["params"])
 
 
 class TestGroupFreeTrainer:
