@@ -271,6 +271,15 @@ def match_proposals_to_gt(centers, gt_roots, gt_mask, radius: float = MATCH_RADI
     return cand2gt, valid
 
 
+def voxelpose_loss_3d(root_cube, target_3d):
+    """loss_3d: plain mean-MSE of the proposal net's root cube against the
+    3D root-gaussian target (multi_person_posenet.py:57,69-71 with
+    PerJointMSELoss/nn.MSELoss(reduction='mean')). This is the only loss
+    that reaches the proposal V2V net — grid centers flow through top-k
+    indices, which carry no gradient."""
+    return jnp.mean((root_cube - target_3d) ** 2)
+
+
 def voxelpose_loss(
     pred_poses,
     centers,

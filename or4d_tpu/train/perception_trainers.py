@@ -102,29 +102,89 @@ class VoxelPoseTrainer:
         self.tx = optax.adam(self.lr)
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
+    accumulation_steps: int = 4
+
     def init_state(self, rng, heatmaps, cameras, heatmap_scale):
         v = self.model.init(rng, heatmaps, cameras, heatmap_scale, train=False)
-        return _make_state(self.model, self.tx, v)
+        state = _make_state(self.model, self.tx, v)
+        # loss_3d gradient accumulator (reference function.py:32-33,62-69):
+        # root-cube MSE grads are summed over accumulation_steps iterations
+        # and applied in a separate optimizer step
+        state["accum3d"] = jax.tree_util.tree_map(jnp.zeros_like, state["params"])
+        state["accum3d_loss"] = jnp.zeros((), jnp.float32)
+        return state
 
-    def _step_impl(self, state, heatmaps, cameras, heatmap_scale, gt_roots, gt_poses, gt_vis, gt_mask, patient_slots):
-        from or4d_tpu.models.voxelpose import voxelpose_loss
+    def _step_impl(self, state, heatmaps, cameras, heatmap_scale, gt_roots, gt_poses, gt_vis, gt_mask, patient_slots, target_3d):
+        """One reference training iteration (core/function.py:36-69 for the
+        OR_4D input-heatmap path, where loss_2d == 0):
 
-        def loss_fn(params):
-            (poses, _scores, centers, _root), mutated = self.model.apply(
+          1. if loss_cord > 0: optimizer step on the pose (cord) loss;
+          2. every accumulation_steps-th iteration with a positive
+             accumulated loss_3d: a SECOND optimizer step on the accumulated
+             root-cube grads — and, exactly like the reference's
+             if/else (:63-69), the firing iteration's own loss_3d is
+             DROPPED, not accumulated.
+        """
+        from or4d_tpu.models.voxelpose import voxelpose_loss, voxelpose_loss_3d
+
+        def fwd(params):
+            (poses, _scores, centers, root), mutated = self.model.apply(
                 {"params": params, "batch_stats": state["batch_stats"]},
                 heatmaps, cameras, heatmap_scale, train=True, mutable=["batch_stats"],
             )
-            loss = voxelpose_loss(
+            loss_cord = voxelpose_loss(
                 poses, centers, gt_roots, gt_poses, gt_vis, gt_mask,
                 patient_slot_mask=patient_slots, patient_weight=self.patient_weight,
             )
-            return loss, mutated.get("batch_stats", {})
+            loss_3d = voxelpose_loss_3d(root, target_3d)
+            return (loss_cord, loss_3d), mutated.get("batch_stats", {})
 
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
-        return _apply_update(self.tx, state, grads, stats, loss)
+        (loss_cord, loss_3d), vjp_fn, stats = jax.vjp(fwd, state["params"], has_aux=True)
+        one = jnp.ones((), loss_cord.dtype)
+        zero = jnp.zeros((), loss_cord.dtype)
+        (g_cord,) = vjp_fn((one, zero))
+        (g_3d,) = vjp_fn((zero, one))
 
-    def train_step(self, state, heatmaps, cameras, heatmap_scale, gt_roots, gt_poses, gt_vis, gt_mask, patient_slots):
-        return self._step(state, heatmaps, cameras, heatmap_scale, gt_roots, gt_poses, gt_vis, gt_mask, patient_slots)
+        def cord_update(args):
+            params, opt_state = args
+            updates, opt_state = self.tx.update(g_cord, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        params, opt_state = jax.lax.cond(
+            loss_cord > 0, cord_update, lambda a: a, (state["params"], state["opt_state"])
+        )
+
+        nacc = float(self.accumulation_steps)
+        fire = jnp.logical_and(state["accum3d_loss"] > 0, (state["step"] + 1) % self.accumulation_steps == 0)
+
+        def fire_update(args):
+            params, opt_state, accum, _aloss = args
+            updates, opt_state = self.tx.update(accum, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, accum)
+            return params, opt_state, zeros, jnp.zeros((), jnp.float32)
+
+        def accumulate(args):
+            params, opt_state, accum, aloss = args
+            accum = jax.tree_util.tree_map(lambda a, g: a + g / nacc, accum, g_3d)
+            return params, opt_state, accum, aloss + loss_3d / nacc
+
+        params, opt_state, accum, aloss = jax.lax.cond(
+            fire, fire_update, accumulate,
+            (params, opt_state, state["accum3d"], state["accum3d_loss"]),
+        )
+        new_state = {
+            "params": params,
+            "batch_stats": stats,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+            "accum3d": accum,
+            "accum3d_loss": aloss,
+        }
+        return new_state, loss_cord + loss_3d, {"loss_cord": loss_cord, "loss_3d": loss_3d}
+
+    def train_step(self, state, heatmaps, cameras, heatmap_scale, gt_roots, gt_poses, gt_vis, gt_mask, patient_slots, target_3d):
+        return self._step(state, heatmaps, cameras, heatmap_scale, gt_roots, gt_poses, gt_vis, gt_mask, patient_slots, target_3d)
 
     def train_step_from_sample(self, state, sample: dict, cameras, heatmap_scale):
         """One VoxelPoseDataset frame dict -> a train step."""
@@ -132,7 +192,7 @@ class VoxelPoseTrainer:
             state,
             sample["input_heatmaps"], cameras, heatmap_scale,
             sample["gt_roots"], sample["gt_poses"], sample["gt_vis"],
-            sample["gt_mask"], sample["patient_mask"],
+            sample["gt_mask"], sample["patient_mask"], sample["target_3d"],
         )
 
 

@@ -34,7 +34,10 @@ class TestHigherHRNetTrainer:
 class TestVoxelPoseTrainer:
     def test_one_step(self):
         """Tiny-grid VoxelPose (the grids are config fields; architecture
-        unchanged) — one patient-weighted step runs and updates params."""
+        unchanged): the cord step updates the pose net immediately when a
+        proposal matches, and the 4-step accumulated loss_3d step is the
+        ONLY path that moves the proposal net (reference function.py:55-69 —
+        grid centers flow through gradient-free top-k)."""
         from or4d_tpu.train.perception_trainers import VoxelPoseTrainer
 
         tr = VoxelPoseTrainer(model_kwargs=dict(
@@ -51,15 +54,34 @@ class TestVoxelPoseTrainer:
         }
         hs = jnp.asarray(np.array([25 / 2048.0, 19 / 2048.0], np.float32))
         state = tr.init_state(jax.random.key(0), heatmaps, cameras, hs)
-        gt_roots = jnp.asarray(np.array([[0.0, 500.0, 0.0], [0, 0, 0], [0, 0, 0]], np.float32))
+        # put the first GT root ON an actual proposal center: the untrained
+        # 12^3 grid's voxels are ~700mm apart, so an arbitrary root would
+        # match nothing within the 500mm radius and loss_cord would be 0
+        (_, _, centers0, _), _ = tr.model.apply(
+            {"params": state["params"], "batch_stats": state["batch_stats"]},
+            heatmaps, cameras, hs, train=True, mutable=["batch_stats"],
+        )
+        gt_roots = jnp.asarray(
+            np.stack([np.asarray(centers0)[0], np.zeros(3), np.zeros(3)]).astype(np.float32)
+        )
         gt_poses = jnp.asarray(rng.normal(scale=400, size=(3, J, 3)).astype(np.float32))
         gt_vis = jnp.ones((3, J), jnp.float32)
         gt_mask = jnp.asarray([True, False, False])
         patient = jnp.asarray([True, False, False])
+        target_3d = jnp.asarray(rng.random((12, 12, 12)).astype(np.float32))
         params_before = jax.tree_util.tree_map(np.asarray, state["params"])
-        state, loss, _ = tr.train_step(state, heatmaps, cameras, hs, gt_roots, gt_poses, gt_vis, gt_mask, patient)
+        state, loss, extras = tr.train_step(
+            state, heatmaps, cameras, hs, gt_roots, gt_poses, gt_vis, gt_mask, patient, target_3d)
         assert np.isfinite(float(loss))
-        assert _changed(params_before, state["params"])
+        assert float(extras["loss_cord"]) > 0
+        assert _changed(params_before["pose_v2v"], state["params"]["pose_v2v"])
+        # proposal net untouched until the accumulation fires on the 4th step
+        assert not _changed(params_before["proposal_v2v"], state["params"]["proposal_v2v"])
+        for _ in range(3):
+            state, loss, extras = tr.train_step(
+                state, heatmaps, cameras, hs, gt_roots, gt_poses, gt_vis, gt_mask, patient, target_3d)
+        assert _changed(params_before["proposal_v2v"], state["params"]["proposal_v2v"])
+        assert float(state["accum3d_loss"]) == 0.0  # reset after firing
 
 
 class TestGroupFreeTrainer:
