@@ -5,11 +5,13 @@ Prints ONE JSON line:
   {"metric": "sg_inference_scenes_per_sec", "value": N, "unit": "scenes/sec",
    "vs_baseline": N / 10.0}
 
-vs_baseline normalizes against an estimated 10 scenes/sec for the reference
-PyTorch stack on one A100 (the reference publishes no throughput numbers —
-BASELINE.md; batch_size=1 Lightning inference of ~10 object + ~90 relation
-PointNet++ encoder calls per scene). The BASELINE.json target is >= 10x that,
-i.e. vs_baseline >= 10.
+vs_baseline normalizes against 10 scenes/sec for the reference PyTorch stack
+on one A100. The reference publishes no throughput numbers; the denominator
+is derived in BASELINE.md ("The vs_baseline denominator") from a MEASURED
+torch-CPU run of the same inference math on these same synthetic scenes
+(scripts/baseline_torch_cpu.py) plus a written per-leg A100 extrapolation
+(range 8-20 scenes/s). The BASELINE.json target is >= 10x, i.e.
+vs_baseline >= 10.
 """
 
 import argparse
