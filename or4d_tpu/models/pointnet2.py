@@ -84,9 +84,11 @@ class DelayedSharedMLP(nn.Module):
         Bq = self.dense_layers[0](pad_q)  # (B, M, C1)
         return A, Bq
 
-    def post(self, gathered, Bq, mask=None, train: bool = True):
-        """BN/ReLU + the remaining conv layers on the grouped tensor."""
-        h = gathered - Bq[:, :, None, :]
+    def post(self, gathered, Bq, mask=None, train: bool = True, slot_major: bool = False):
+        """BN/ReLU + the remaining conv layers on the grouped tensor —
+        (B, M, ns, C), or (B, ns, M, C) when ``slot_major`` (the gated train
+        kernel's native layout; BN statistics are axis-order invariant)."""
+        h = gathered - (Bq[:, None, :, :] if slot_major else Bq[:, :, None, :])
         m = _expand_mask(mask, h)
         h = self.bn_layers[0](h, mask=m, train=train)
         h = nn.relu(h)
@@ -158,16 +160,16 @@ class SetAbstractionMSG(nn.Module):
             eval_kernel = self.fused_mode == "eval_kernel"
         scale_spec = tuple((float(sc.radius), int(sc.nsample)) for sc in self.scales)
 
-        # v4 eval path: FPS emits per-chunk hit counts as a free byproduct
-        # (identical f32 arithmetic), making the gated kernel's bounds
-        # pre-pass unnecessary — only pays when supports span >= 2 chunks
+        # v4 paths (eval AND train): FPS emits per-chunk hit counts as a free
+        # byproduct (identical f32 arithmetic), giving the gated kernels
+        # exact bounds with no pre-pass — only pays when supports span >= 2
+        # chunks
         counts = None
         use_v4 = (
-            eval_kernel
-            and (fused or self.kernel_interpret)
+            (fused or self.kernel_interpret)
             and self.eval_subtile
             and xyz.shape[1] > _CHUNK
-            and all(len(sc.mlp) == 2 for sc in self.scales)
+            and (not eval_kernel or all(len(sc.mlp) == 2 for sc in self.scales))
         )
         if use_v4:
             from or4d_tpu.ops.pallas_fps import furthest_point_sample_with_counts
@@ -205,9 +207,50 @@ class SetAbstractionMSG(nn.Module):
                         None, False, self.eval_subtile,
                     )
                 return new_xyz, jnp.concatenate(outs, axis=-1)
-            # training: one merged kernel emits every scale's grouped
-            # layer-1 features (shared distance tile), BN/ReLU + later
-            # layers run on the grouped tensors for exact batch statistics
+            # training: grouped layer-1 features in one kernel, BN/ReLU +
+            # later layers on the grouped tensors for exact batch statistics
+            if counts is not None:
+                # gated train path: queries sorted by the exact composite
+                # key so the two-gate fires; BN/MLP/maxpool run in sorted
+                # order (row masks are per cloud, hence order-invariant; BN
+                # reductions reassociate — same multiset) and the pooled
+                # (B, M, C2) outputs are un-permuted, keeping SA2's
+                # order-dependent FPS semantics intact
+                from or4d_tpu.ops.pallas_ball_query import (
+                    _counts_to_bounds,
+                    ball_query_group_pallas_gated,
+                    bounds_order_key_argsort,
+                )
+
+                bounds = _counts_to_bounds(scale_spec, counts)
+                order = bounds_order_key_argsort(scale_spec, bounds)
+                inv_order = jnp.argsort(order, axis=1)
+                q_sorted = jnp.take_along_axis(new_xyz, order[..., None], axis=1)
+                bounds_sorted = tuple(
+                    (jnp.take_along_axis(nd, order, axis=1), jnp.take_along_axis(th, order, axis=1))
+                    for nd, th in bounds
+                )
+                grouped = ball_query_group_pallas_gated(
+                    scale_spec, xyz, q_sorted, tuple(A for A, _ in pres),
+                    bounds_sorted, self.kernel_interpret,
+                )
+                # grouped tensors are SLOT-MAJOR (B, ns, M, C) — BN/MLP run
+                # in that layout (stats reduce over every non-channel axis,
+                # so axis order is irrelevant), maxpool over axis 1, and only
+                # the pooled (B, M, C2) result is un-permuted
+                outs = [
+                    jnp.take_along_axis(
+                        jnp.max(
+                            m.post(g, jnp.take_along_axis(Bq, order[..., None], axis=1),
+                                   mask=mask, train=train, slot_major=True),
+                            axis=1,
+                        ),
+                        inv_order[..., None],
+                        axis=1,
+                    )
+                    for m, g, (_, Bq) in zip(mlps, grouped, pres)
+                ]
+                return new_xyz, jnp.concatenate(outs, axis=-1)
             grouped = ball_query_group_pallas(
                 scale_spec, xyz, new_xyz, tuple(A for A, _ in pres), self.kernel_interpret
             )

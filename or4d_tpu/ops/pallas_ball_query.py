@@ -569,6 +569,21 @@ def _subtile_order_key(
     return key
 
 
+def bounds_order_key_argsort(scales, bounds) -> jax.Array:
+    """Composite query order from exact bounds (the pre-pass path's formula):
+    dense queries ascending by chunks-needed, stragglers after them ascending
+    by hit count; the costliest scale (largest nsample) keys first."""
+    keys = [
+        jnp.where(thr >= float(ns), need, 1000.0 + thr)
+        for (_r, ns), (need, thr) in zip(scales, bounds)
+    ]
+    prio = sorted(range(len(scales)), key=lambda s: -scales[s][1])
+    key = jnp.zeros_like(keys[0])
+    for depth, s in enumerate(prio):
+        key = key + keys[s] * (2048.0 ** (len(prio) - 1 - depth))
+    return jnp.argsort(key, axis=1)
+
+
 def _counts_to_bounds(
     scales: tuple[tuple[float, int], ...], counts: tuple[jax.Array, ...]
 ) -> tuple[tuple[jax.Array, jax.Array], ...]:
@@ -1156,6 +1171,386 @@ def ball_query_group_mlp_pallas(
     return outs
 
 
+# ---------------------------------------------------------------------------
+# gated grouping (train path): grouped tensors out, two-gate + bounds inputs
+# ---------------------------------------------------------------------------
+
+
+def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int):
+    """Grouped-feature kernel with the v4 gating machinery: emits the full
+    (tm, ns, C) grouped tensors (train path needs them for exact batch-stat
+    BN), but distances/prefixes/selections only run on the chunks the exact
+    input bounds require. Queries arrive SORTED (caller's composite key) —
+    order only affects tile homogeneity, never values."""
+    S = len(scales)
+    PC = _CHUNK // 2
+    halves = _CHUNK // PC
+
+    def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *rest):
+        A_refs = rest[0:S]
+        bounds_refs = rest[S : 2 * S]
+        out_refs = rest[2 * S : 3 * S]  # per scale (1, ns, tm, C) slot-major
+        rank_ref = rest[3 * S]  # (nch, subtile, CHUNK) f32 scratch
+
+        tri = _tri_inclusive(jnp.bfloat16, PC)
+        qx = qx_ref[0].reshape(tm, 1)
+        qy = qy_ref[0].reshape(tm, 1)
+        qz = qz_ref[0].reshape(tm, 1)
+
+        def chunk_ranks(ch, rs, carry, r2):
+            dx = qx[rs] - x_ref[0, ch]
+            dy = qy[rs] - y_ref[0, ch]
+            dz = qz[rs] - z_ref[0, ch]
+            d2 = dx * dx + dy * dy + dz * dz
+            parts = []
+            off = carry
+            for hf in range(halves):
+                mh = d2[:, hf * PC : (hf + 1) * PC] < r2
+                loc = jax.lax.dot_general(
+                    mh.astype(tri.dtype), tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                parts.append(jnp.where(mh, loc + off, 0.0))
+                off = off + loc[:, PC - 1 : PC]
+            return jnp.concatenate(parts, axis=1), off
+
+        for s, (radius, nsample) in enumerate(scales):
+            A_ref = A_refs[s]  # (1, nch, CHUNK, C)
+            out_ref = out_refs[s]  # (1, ns, tm, C) — slot-major: a (32, C)
+            # store per (slot, subtile) is a contiguous-sublane write; the
+            # query-major layout needs an unsupported strided shape cast
+            A_dtype = A_ref.dtype
+            C = A_ref.shape[-1]
+            r2s = radius * radius
+            bounds = bounds_refs[s][0]  # (tm, 2) [need, thr]
+
+            for r0 in range(0, tm, subtile):
+                rs = slice(r0, r0 + subtile)
+                needv = bounds[rs, 0:1]
+                thrv = bounds[rs, 1:2]
+                h = jnp.minimum(jnp.max(needv), float(nch)).astype(jnp.int32)
+                cap = jnp.maximum(jnp.max(thrv), 1.0).astype(jnp.int32)
+                use_chunk = h * nsample <= cap * nch
+
+                for k in range(nsample):
+                    out_ref[0, k, rs] = jnp.zeros((subtile, C), out_ref.dtype)
+
+                @pl.when(use_chunk)
+                def _chunk(rs=rs, h=h, A_ref=A_ref, out_ref=out_ref, r2s=r2s):
+                    def body(ch, carry):
+                        rank, carry = chunk_ranks(ch, rs, carry, r2s)
+                        a_ch = A_ref[0, ch]
+                        for k in range(1, nsample + 1):
+                            sel = (rank == float(k)).astype(A_dtype)
+                            out_ref[0, k - 1, rs] += jax.lax.dot_general(
+                                sel, a_ch, dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ).astype(out_ref.dtype)
+                        return carry
+
+                    jax.lax.fori_loop(0, h, body, jnp.zeros((subtile, 1), jnp.float32))
+
+                @pl.when(jnp.logical_not(use_chunk))
+                def _slot(rs=rs, cap=cap, A_ref=A_ref, out_ref=out_ref, r2s=r2s):
+                    # straggler tiles: all nch chunks, cap slots; rank planes
+                    # built once per subtile with a static chunk loop
+                    carry = jnp.zeros((subtile, 1), jnp.float32)
+                    for ch in range(nch):
+                        rank_ref[ch], carry = chunk_ranks(ch, rs, carry, r2s)
+
+                    def slot_body(i, c):
+                        kf = (i + 1).astype(jnp.float32)
+                        acc = None
+                        for ch in range(nch):
+                            sel = (rank_ref[ch] == kf).astype(A_dtype)
+                            d = jax.lax.dot_general(
+                                sel, A_ref[0, ch], dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            acc = d if acc is None else acc + d
+                        out_ref[0, i, rs] = acc.astype(out_ref.dtype)
+                        return c
+
+                    jax.lax.fori_loop(0, cap, slot_body, 0)
+
+                # first-hit fill: slots past thr duplicate slot 1 (exactly
+                # the reference padding the train consumers rely on)
+                first = out_ref[0, 0, rs]
+                for k in range(2, nsample + 1):
+                    cur = out_ref[0, k - 1, rs]
+                    out_ref[0, k - 1, rs] = jnp.where(thrv >= float(k), cur, first.astype(cur.dtype))
+
+    return kernel
+
+
+def _make_group_bwd_kernel_gated(scales, tm: int, subtile: int, nch: int):
+    """Backward of the gated grouping kernel: dA[s] += sel^T @ g with the
+    same two-gate chunk scanning (sel is zero outside each query's bound by
+    construction, so skipping those chunks is exact). First-hit-fill grad
+    routing (invalid slots' grads to slot 1) matches the ungated bwd."""
+    S = len(scales)
+    PC = _CHUNK // 2
+    halves = _CHUNK // PC
+
+    def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *rest):
+        g_refs = rest[0:S]
+        bounds_refs = rest[S : 2 * S]
+        dA_refs = rest[2 * S : 3 * S]
+        rank_ref = rest[3 * S]
+
+        tri = _tri_inclusive(jnp.bfloat16, PC)
+        qx = qx_ref[0].reshape(tm, 1)
+        qy = qy_ref[0].reshape(tm, 1)
+        qz = qz_ref[0].reshape(tm, 1)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            for r in dA_refs:
+                r[0] = jnp.zeros_like(r[0])
+
+        def chunk_ranks(ch, rs, carry, r2):
+            dx = qx[rs] - x_ref[0, ch]
+            dy = qy[rs] - y_ref[0, ch]
+            dz = qz[rs] - z_ref[0, ch]
+            d2 = dx * dx + dy * dy + dz * dz
+            parts = []
+            off = carry
+            for hf in range(halves):
+                mh = d2[:, hf * PC : (hf + 1) * PC] < r2
+                loc = jax.lax.dot_general(
+                    mh.astype(tri.dtype), tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                parts.append(jnp.where(mh, loc + off, 0.0))
+                off = off + loc[:, PC - 1 : PC]
+            return jnp.concatenate(parts, axis=1), off
+
+        for s, (radius, nsample) in enumerate(scales):
+            g_ref = g_refs[s]  # (1, ns, tm, C) slot-major
+            dA_ref = dA_refs[s]  # (1, nch, CHUNK, C)
+            r2s = radius * radius
+            bounds = bounds_refs[s][0]
+
+            for r0 in range(0, tm, subtile):
+                rs = slice(r0, r0 + subtile)
+                needv = bounds[rs, 0:1]
+                thrv = bounds[rs, 1:2]
+                h = jnp.minimum(jnp.max(needv), float(nch)).astype(jnp.int32)
+                cap = jnp.maximum(jnp.max(thrv), 1.0).astype(jnp.int32)
+                use_chunk = h * nsample <= cap * nch
+
+                # effective grads: slots past thr route to slot 1 (per-slot
+                # (subtile, 1) masks — rank-2 ops only; Mosaic can't lower
+                # rank-3 reductions)
+                graw = [g_ref[0, k, rs].astype(jnp.float32) for k in range(nsample)]
+                inv = [(thrv < float(k)).astype(jnp.float32) for k in range(1, nsample + 1)]
+                g_first = graw[0] * (1.0 - inv[0])
+                for k in range(nsample):
+                    g_first = g_first + graw[k] * inv[k]
+                gks = [g_first] + [graw[k - 1] * (1.0 - inv[k - 1]) for k in range(2, nsample + 1)]
+
+                @pl.when(use_chunk)
+                def _chunk(rs=rs, h=h, gks=gks, dA_ref=dA_ref, r2s=r2s):
+                    def body(ch, carry):
+                        rank, carry = chunk_ranks(ch, rs, carry, r2s)
+                        acc = None
+                        for k in range(1, nsample + 1):
+                            sel = (rank == float(k)).astype(jnp.float32)
+                            d = jax.lax.dot_general(
+                                sel, gks[k - 1], dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # (CHUNK, C)
+                            acc = d if acc is None else acc + d
+                        dA_ref[0, ch] += acc.astype(dA_ref.dtype)
+                        return carry
+
+                    jax.lax.fori_loop(0, h, body, jnp.zeros((subtile, 1), jnp.float32))
+
+                @pl.when(jnp.logical_not(use_chunk))
+                def _slot(rs=rs, cap=cap, gks=gks, dA_ref=dA_ref, r2s=r2s):
+                    carry = jnp.zeros((subtile, 1), jnp.float32)
+                    for ch in range(nch):
+                        rank_ref[ch], carry = chunk_ranks(ch, rs, carry, r2s)
+
+                    def slot_body(i, c):
+                        # gks indexed dynamically: scalar-masked sum over the
+                        # ns static slots (rank-3 one-hot reductions don't
+                        # lower in Mosaic)
+                        kf = (i + 1).astype(jnp.float32)
+                        gk = gks[0] * (i == 0).astype(jnp.float32)
+                        for k in range(1, nsample):
+                            gk = gk + gks[k] * (i == k).astype(jnp.float32)
+                        for ch in range(nch):
+                            sel = (rank_ref[ch] == kf).astype(jnp.float32)
+                            dA_ref[0, ch] += jax.lax.dot_general(
+                                sel, gk, dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ).astype(dA_ref.dtype)
+                        return c
+
+                    jax.lax.fori_loop(0, cap, slot_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5))
+def ball_query_group_pallas_gated(
+    scales: tuple[tuple[float, int], ...],
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    feats: tuple[jax.Array, ...],
+    bounds: tuple[tuple[jax.Array, jax.Array], ...],
+    interpret: bool = False,
+) -> tuple[jax.Array, ...]:
+    """Two-gate grouped ball query with exact bounds as inputs (train path).
+
+    Same selection semantics as :func:`ball_query_group_pallas` (reference
+    first-hit padding, grads to ``feats``), but every per-chunk cost is
+    gated by the FPS-fused bounds, and the grouped tensors are emitted
+    SLOT-MAJOR — (B, ns, M, C) — both ways: that is the layout the kernel
+    can store contiguously, and keeping it end-to-end avoids materializing
+    a second multi-GB copy per scale. Callers should pass new_xyz SORTED by
+    the composite key (and un-permute downstream) — the values are
+    order-independent, the speed is not."""
+    return _bqgg_forward(scales, xyz, new_xyz, feats, bounds, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _bqgg_forward(scales, xyz, new_xyz, feats, bounds, interpret):
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    Np = _round_up(N, _CHUNK)
+    nch = Np // _CHUNK
+    tm = min(512, _round_up(M, 128))
+    Mp = _round_up(M, tm)
+    G = Mp // tm
+    subtile = 32
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+
+    sup = [
+        jnp.pad(xyz[..., i], ((0, 0), (0, Np - N)), constant_values=1e12).reshape(B, nch, 1, _CHUNK)
+        for i in range(3)
+    ]
+    qry = [jnp.pad(new_xyz[..., i], ((0, 0), (0, Mp - M))).reshape(B * G, 1, tm) for i in range(3)]
+    fpad = [jnp.pad(f, ((0, 0), (0, Np - N), (0, 0))).reshape(B, nch, _CHUNK, -1) for f in feats]
+    bnds = [
+        jnp.pad(jnp.stack([need, thr], axis=-1), ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, 2)
+        for need, thr in bounds
+    ]
+
+    grid = (B, G)
+    qspec = pl.BlockSpec((1, 1, tm), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, nch, 1, _CHUNK), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    fspecs = [
+        pl.BlockSpec((1, nch, _CHUNK, f.shape[-1]), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+        for f in fpad
+    ]
+    bspec = pl.BlockSpec((1, tm, 2), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    # outputs STAY slot-major (B, ns, Mp, C): each grid step writes its
+    # (1, ns, tm, C) block into the Mp slice directly — transposing to
+    # query-major would materialize a second multi-GB copy of tensors that
+    # already dominate train-step HBM (observed OOM at S=8 bench shapes)
+    out_specs = tuple(
+        pl.BlockSpec((1, ns, tm, f.shape[-1]), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM)
+        for (_, ns), f in zip(scales, feats)
+    )
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((B, ns, Mp, f.shape[-1]), f.dtype) for (_, ns), f in zip(scales, feats)
+    )
+
+    outs = pl.pallas_call(
+        _make_group_kernel_gated(scales, tm, subtile, nch),
+        grid=grid,
+        in_specs=[qspec, qspec, qspec, sspec, sspec, sspec, *fspecs, *[bspec] * len(scales)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((nch, subtile, _CHUNK), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*qry, *sup, *fpad, *bnds)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    return tuple(o[:, :, :M] for o in outs)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def _bqgg_backward_impl(scales, xyz, new_xyz, gs, bounds, interpret, feat_shapes_dtypes):
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    Np = _round_up(N, _CHUNK)
+    nch = Np // _CHUNK
+    tm = min(512, _round_up(M, 128))
+    Mp = _round_up(M, tm)
+    G = Mp // tm
+    # coarser gate than the fwd's 32: the bwd dots contract over the subtile
+    # axis (sel^T @ g), so subtile IS the MXU K dim — 32 leaves the MXU at
+    # quarter rate and measured SLOWER than ungated despite ~40% of the slot
+    # work; 128 trades a looser gate for full-K dots
+    subtile = min(128, tm)
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    sup = [
+        jnp.pad(xyz[..., i], ((0, 0), (0, Np - N)), constant_values=1e12).reshape(B, nch, 1, _CHUNK)
+        for i in range(3)
+    ]
+    qry = [jnp.pad(new_xyz[..., i], ((0, 0), (0, Mp - M))).reshape(B * G, 1, tm) for i in range(3)]
+    # cotangents arrive slot-major (B, ns, M, C), matching the fwd output
+    gpad = [jnp.pad(g, ((0, 0), (0, 0), (0, Mp - M), (0, 0))) for g in gs]
+    bnds = [
+        jnp.pad(jnp.stack([need, thr], axis=-1), ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, 2)
+        for need, thr in bounds
+    ]
+
+    grid = (B, G)
+    qspec = pl.BlockSpec((1, 1, tm), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, nch, 1, _CHUNK), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    gspecs = [
+        pl.BlockSpec((1, g.shape[1], tm, g.shape[3]), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM)
+        for g in gpad
+    ]
+    bspec = pl.BlockSpec((1, tm, 2), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    out_specs = tuple(
+        pl.BlockSpec((1, nch, _CHUNK, c), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+        for (_n, c), _dt in feat_shapes_dtypes
+    )
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((B, nch, _CHUNK, c), jnp.float32) for (_n, c), _dt in feat_shapes_dtypes
+    )
+    outs = pl.pallas_call(
+        _make_group_bwd_kernel_gated(scales, tm, subtile, nch),
+        grid=grid,
+        in_specs=[qspec, qspec, qspec, sspec, sspec, sspec, *gspecs, *[bspec] * len(scales)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((nch, subtile, _CHUNK), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*qry, *sup, *gpad, *bnds)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    return tuple(
+        o.reshape(B, Np, -1)[:, :N, :].astype(jnp.dtype(dt))
+        for o, ((_n, _c), dt) in zip(outs, feat_shapes_dtypes)
+    )
+
+
+def _bqgg_fwd(scales, xyz, new_xyz, feats, bounds, interpret):
+    out = _bqgg_forward(scales, xyz, new_xyz, feats, bounds, interpret)
+    return out, (xyz, new_xyz, bounds)
+
+
+def _bqgg_bwd(scales, interpret, res, gs):
+    xyz, new_xyz, bounds = res
+    feat_shapes_dtypes = tuple(((xyz.shape[1], g.shape[-1]), jnp.dtype(g.dtype).name) for g in gs)
+    dA = _bqgg_backward_impl(scales, xyz, new_xyz, tuple(gs), bounds, interpret, feat_shapes_dtypes)
+    zb = tuple((jnp.zeros_like(n), jnp.zeros_like(t)) for n, t in bounds)
+    return jnp.zeros_like(xyz), jnp.zeros_like(new_xyz), dA, zb
+
+
+ball_query_group_pallas_gated.defvjp(_bqgg_fwd, _bqgg_bwd)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
 def ball_query_group_mlp_pallas_v4(
     scales: tuple[tuple[float, int], ...],
@@ -1189,18 +1584,7 @@ def ball_query_group_mlp_pallas_v4(
         pair_chunks = False
     step = 2 if pair_chunks else 1
 
-    # composite order key from the input bounds (same formula as the
-    # pre-pass path: dense queries ascending by chunks-needed, stragglers
-    # after them ascending by hit count; costliest scale keys first)
-    keys = [
-        jnp.where(thr >= float(ns), need, 1000.0 + thr)
-        for (_r, ns), (need, thr) in zip(scales, bounds)
-    ]
-    prio = sorted(range(len(scales)), key=lambda s: -scales[s][1])
-    key = jnp.zeros_like(keys[0])
-    for depth, s in enumerate(prio):
-        key = key + keys[s] * (2048.0 ** (len(prio) - 1 - depth))
-    order = jnp.argsort(key, axis=1)
+    order = bounds_order_key_argsort(scales, bounds)
     inv_order = jnp.argsort(order, axis=1)
     new_xyz = jnp.take_along_axis(new_xyz, order[..., None], axis=1)
     scale_params = tuple(

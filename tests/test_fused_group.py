@@ -241,6 +241,79 @@ class TestFusedGroupMLPSorted:
                 want = o.max(axis=2)
                 np.testing.assert_allclose(np.asarray(outs[s]), want, rtol=1e-4, atol=1e-4)
 
+    def test_gated_group_forward_and_grad_parity(self):
+        """The gated train-path grouping kernel (bounds as inputs) matches
+        the index+gather formulation in values AND feature gradients."""
+        import jax
+
+        from or4d_tpu.ops.pallas_ball_query import ball_query_group_pallas_gated
+
+        B, N, M, C = 1, 1100, 256, 16
+        xyz, new_xyz, A = _setup(51, B, N, M, C)
+        scales = ((0.15, 4), (0.3, 6))
+        A2 = _setup(52, B, N, M, C)[2]
+
+        q = np.asarray(new_xyz, np.float32)
+        p = np.asarray(xyz, np.float32)
+        d2 = ((q[:, :, None, :] - p[:, None, :, :]).astype(np.float32) ** 2).sum(-1, dtype=np.float32)
+        bounds = []
+        for r, ns in scales:
+            hit = d2 < np.float32(r * r)
+            chunks = np.add.reduceat(hit, np.arange(0, N, 512), axis=-1).astype(np.float32)
+            ccum = np.cumsum(chunks, axis=-1)
+            tot = ccum[..., -1]
+            thr = np.minimum(tot, float(ns))
+            need = (ccum < thr[..., None]).sum(-1) + 1.0
+            bounds.append((jnp.asarray(need, jnp.float32), jnp.asarray(thr, jnp.float32)))
+        bounds = tuple(bounds)
+
+        outs = ball_query_group_pallas_gated(scales, xyz, new_xyz, (A, A2), bounds, True)
+        for s, ((r, ns), Ax) in enumerate(zip(scales, (A, A2))):
+            idx = np.asarray(ball_query(r, ns, xyz, new_xyz))
+            want = np.take_along_axis(np.asarray(Ax)[:, :, None, :], idx[..., None], axis=1)
+            # gated kernel output is slot-major (B, ns, M, C)
+            np.testing.assert_allclose(np.asarray(outs[s]).transpose(0, 2, 1, 3), want, atol=1e-5)
+
+        # gradient parity vs the gather formulation
+        W = jnp.asarray(np.random.default_rng(53).standard_normal((M, 6, C)).astype(np.float32))
+        Wsm = jnp.transpose(W, (1, 0, 2))  # slot-major weights (6, M, C)
+
+        def loss_gated(A):
+            g = ball_query_group_pallas_gated(scales, xyz, new_xyz, (A, A), bounds, True)
+            return jnp.sum(jnp.tanh(g[1]) * Wsm[None]) + jnp.sum(g[0])
+
+        def loss_gather(A):
+            idx1 = ball_query(scales[0][0], scales[0][1], xyz, new_xyz)
+            idx2 = ball_query(scales[1][0], scales[1][1], xyz, new_xyz)
+            g1 = jnp.take_along_axis(A[:, :, None, :], idx1[..., None], axis=1)
+            g2 = jnp.take_along_axis(A[:, :, None, :], idx2[..., None], axis=1)
+            return jnp.sum(jnp.tanh(g2) * W[None]) + jnp.sum(g1)
+
+        ga = jax.grad(loss_gated)(A)
+        gb = jax.grad(loss_gather)(A)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=2e-4)
+
+    def test_sa_stage_train_gated_equivalence(self):
+        """SetAbstractionMSG's gated train path (sorted queries, un-permuted
+        outputs) equals the index path up to BN reassociation."""
+        import jax
+
+        from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
+
+        rng = np.random.default_rng(61)
+        B, N = 2, 1100
+        pc = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((B, N, 5)).astype(np.float32))
+        scales = (SAScale(0.15, 4, (16, 24)), SAScale(0.3, 6, (16, 16)))
+        kernel_mod = SetAbstractionMSG(npoint=128, scales=scales, fused_mode="train_kernel",
+                                       kernel_interpret=True, eval_subtile=32)
+        index_mod = SetAbstractionMSG(npoint=128, scales=scales, fused_mode="index")
+        v = index_mod.init(jax.random.key(0), pc, feats, train=True)
+        nx_i, f_i = index_mod.apply(v, pc, feats, train=True, mutable=["batch_stats"])[0]
+        nx_k, f_k = kernel_mod.apply(v, pc, feats, train=True, mutable=["batch_stats"])[0]
+        np.testing.assert_allclose(np.asarray(nx_k), np.asarray(nx_i), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_i), rtol=1e-4, atol=1e-4)
+
     def test_sa_stage_v4_end_to_end(self):
         """SetAbstractionMSG's v4 eval path (FPS-fused counts -> bounds ->
         v4 kernel, interpret mode) equals the index path."""

@@ -35,7 +35,10 @@ class TestDatasetCaching:
         ds = ORDataset(TINY_CFG, "val", DEFAULT_VOCAB, data_root=tmp_path / "nodata",
                        cache_dir=tmp_path / "cache", synthetic_scans_per_take=2)
         s1 = ds.sample(0)
-        assert (tmp_path / "cache" / f"{s1.scan_id}.npz").exists()
+        # cache_dir is a BASE dir; the config-dependent suffix subdir keeps
+        # gt/no-gt/eval variants separate
+        assert (ds.cache_dir / f"{s1.scan_id}.npz").exists()
+        assert str(ds.cache_dir).startswith(str(tmp_path / "cache"))
         s2 = ds.sample(0)  # cache hit
         np.testing.assert_array_equal(s1.obj_points, s2.obj_points)
         np.testing.assert_array_equal(s1.gt_rels, s2.gt_rels)

@@ -117,11 +117,14 @@ class TestShardedPack:
 
         import dataclasses
 
+        # mp=2 shards the slot axes — they must divide the mesh
+        ds_mp = DatasetConfig(num_points_objects=96, num_points_relation=128,
+                              max_objects=6, max_edges=30, data_augmentation=False)
         base = dict(
-            dataset=dataclasses.replace(TINY, data_augmentation=False),
+            dataset=ds_mp,
             model=ModelConfig(sa_npoints=(16, 8), sa_nsamples=((4, 8), (8, 8))),
         )
-        batch = make_scene_batch(4, seed=5, n_objects=4, ds=TINY, points_per_obj=150)
+        batch = make_scene_batch(4, seed=5, n_objects=4, ds=ds_mp, points_per_obj=150)
         key = jax.random.key(2)
 
         cfg_dp = ExperimentConfig(tpu=TPUConfig(scene_batch=4, mesh_data=4, mesh_model=1, donate_state=False), **base)
