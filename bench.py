@@ -47,7 +47,13 @@ def main() -> None:
 
     S = args.scenes  # scenes per device batch (8 = the recorded metric)
     ds = DatasetConfig()  # paper shapes: 12 obj x 4000 pts, 132 edges x 8000 pts
-    batch = make_scene_batch(num_scenes=S, seed=0, n_objects=9, ds=ds, points_per_obj=2000)
+    # pair_shared: both directions of a relation pair sample the same union
+    # crop (direction-invariant by reference construction — data/prep.py), so
+    # the eval path encodes each unordered pair once (paired SlotPack below)
+    batch = make_scene_batch(
+        num_scenes=S, seed=0, n_objects=9, ds=ds, points_per_obj=2000,
+        pair_shared=not args.train,
+    )
 
     model = SGPN(num_classes=12, num_relations=15, compute_dtype=jnp.bfloat16)
     variables = jax.jit(
@@ -56,7 +62,9 @@ def main() -> None:
 
     from or4d_tpu.data.scene_batch import SlotPack
 
-    pack = SlotPack.build(batch)  # skip padded slots through the encoders
+    # skip padded slots through the encoders; at eval also encode each
+    # unordered relation pair once (pair plan)
+    pack = SlotPack.build(batch, paired=not args.train)
     # device-resident inputs: the batch is built as numpy, and feeding numpy
     # to jit re-uploads ~300MB per call through this environment's slow
     # host tunnel — that's transfer, not model time

@@ -493,7 +493,8 @@ def main(argv: list[str] | None = None) -> int:
         return state
 
     if args.mode == "train":
-        val_ds = ORDataset(cfg, "val", vocab, data_root=args.data_root)
+        # val batches only feed eval_step -> pair-shared crops (paired path)
+        val_ds = ORDataset(cfg, "val", vocab, data_root=args.data_root, pair_shared=True)
         state = init_or_restore()
         state, history = trainer.fit(
             state,
@@ -505,7 +506,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(history[-1]))
     elif args.mode == "evaluate":
         split = args.split or "val"
-        eval_ds = ORDataset(cfg, split, vocab, data_root=args.data_root)
+        # pair_shared: eval crops are direction-invariant by construction, so
+        # eval_step's paired rel-encoder path fires (one encode per pair)
+        eval_ds = ORDataset(cfg, split, vocab, data_root=args.data_root, pair_shared=True)
         state = init_or_restore()
         # verbose=True: per-take classification reports, the reference's
         # evaluate_predictions output

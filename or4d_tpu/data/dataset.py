@@ -103,14 +103,23 @@ class ORDataset:
         for_eval: bool = False,
         synthetic_fallback: bool = True,
         synthetic_scans_per_take: int = 32,
+        pair_shared: bool | None = None,
     ):
         self.cfg = cfg
         self.ds: DatasetConfig = cfg.dataset
         self.split = split
         self.vocab = vocab
         self.for_eval = for_eval
+        # eval samples share each union crop across the two directions of a
+        # pair (direction-invariant by reference construction, data/prep.py)
+        # so eval_step can use the paired rel-encoder path; train keeps
+        # independent per-edge draws (direction-dependent augmentation)
+        self.pair_shared = for_eval if pair_shared is None else pair_shared
         self.data_root = Path(data_root)
-        suffix = self.ds.dataset_suffix + ("" if cfg.use_gt else "_no_gt") + ("_eval" if for_eval else "")
+        suffix = (
+            self.ds.dataset_suffix + ("" if cfg.use_gt else "_no_gt")
+            + ("_eval" if for_eval else "") + ("_paired" if self.pair_shared else "")
+        )
         # an explicit cache_dir is a BASE dir: the config-dependent suffix
         # still applies so gt/no-gt/eval variants never collide
         base = Path(cache_dir) if cache_dir else Path("/tmp/or4d_cache")
@@ -259,6 +268,7 @@ class ORDataset:
         sample = prepare_scene(
             points, instances, objs, rels, self.vocab, self.ds, rng,
             hand_locations=hands, scan_id=scan_id, take_idx=scan["take_idx"],
+            pair_shared=self.pair_shared,
         )
         np.savez_compressed(
             cache_path,

@@ -95,12 +95,23 @@ def prepare_scene(
     scan_id: str = "",
     take_idx: int = 0,
     bbox_padding: float = 0.2,
+    pair_shared: bool = False,
 ) -> SceneSample:
     """Build a padded SceneSample from a labeled scene cloud.
 
     ``points``: (N, 6) xyz+rgb; ``instances``: (N,) int labels matching the
     keys of ``objs`` (0/-1 = background); ``objs``: instance id -> class name;
     ``rel_list``: [[sub_id, obj_id, rel_idx, rel_name], ...].
+
+    ``pair_shared``: sample each union crop ONCE per unordered pair and store
+    it on both directed edges with the mask channel swapped (1<->2). The
+    reference's crop construction (data_preparation_utils.py:199-217) filters
+    the same scene array with the same union bbox for both directions — the
+    xyz/rgb content, scan order, and zero-mean frame are direction-invariant
+    by construction, and only the final random subsample draw differs. Tying
+    that draw is a legal resampling (identical per-edge distribution) that
+    lets the eval path share FPS/ball-query/selection work across the two
+    directions of a pair (models/pointnet2.py paired path).
     """
     O, E = ds.max_objects, ds.max_edges
     Po, Pr = ds.num_points_objects, ds.num_points_relation
@@ -147,6 +158,24 @@ def prepare_scene(
     rel_hand_points = np.zeros((E, 2, 3), np.float32)
     edge_mask = np.zeros((E,), bool)
 
+    def build_crop(a: int, b: int):
+        """Sampled, zero-meaned union crop for directed edge (a, b)."""
+        mn = np.minimum(bboxes[a][0], bboxes[b][0])
+        mx = np.maximum(bboxes[a][1], bboxes[b][1])
+        native = crop_union_native(points[:, :3], instances, mn, mx, slot_ids[a], slot_ids[b])
+        if native is not None:
+            idx, mask_vals = native
+            pts7 = np.concatenate([points[idx], mask_vals[:, None]], axis=1)
+        else:
+            inside = np.all((points[:, :3] > mn) & (points[:, :3] < mx), axis=1)
+            mask_channel = point_masks[a].astype(np.float32) * 1.0 + point_masks[b].astype(np.float32) * 2.0
+            pts7 = np.concatenate([points, mask_channel[:, None]], axis=1)[inside]
+        choice = calculate_downsample_indices(pts7, Pr, rng)
+        crop = pts7[choice].astype(np.float32)
+        crop[:, :3], info = zero_mean(crop[:, :3])
+        return crop, info
+
+    pair_crops: dict[tuple[int, int], tuple[np.ndarray, dict]] = {}
     e = 0
     for a in range(n):
         for b in range(n):
@@ -159,19 +188,15 @@ def prepare_scene(
             rel_onehot[e, objname_to_type_index(names[a])] = 1.0
             rel_onehot[e, 6 + objname_to_type_index(names[b])] = 1.0
 
-            mn = np.minimum(bboxes[a][0], bboxes[b][0])
-            mx = np.maximum(bboxes[a][1], bboxes[b][1])
-            native = crop_union_native(points[:, :3], instances, mn, mx, slot_ids[a], slot_ids[b])
-            if native is not None:
-                idx, mask_vals = native
-                pts7 = np.concatenate([points[idx], mask_vals[:, None]], axis=1)
+            if pair_shared and (b, a) in pair_crops:
+                fwd, info = pair_crops.pop((b, a))
+                crop = fwd.copy()
+                m = crop[:, 6]
+                crop[:, 6] = np.where(m > 0, 3.0 - m, 0.0)  # swap 1 <-> 2
             else:
-                inside = np.all((points[:, :3] > mn) & (points[:, :3] < mx), axis=1)
-                mask_channel = point_masks[a].astype(np.float32) * 1.0 + point_masks[b].astype(np.float32) * 2.0
-                pts7 = np.concatenate([points, mask_channel[:, None]], axis=1)[inside]
-            choice = calculate_downsample_indices(pts7, Pr, rng)
-            crop = pts7[choice].astype(np.float32)
-            crop[:, :3], info = zero_mean(crop[:, :3])
+                crop, info = build_crop(a, b)
+                if pair_shared:
+                    pair_crops[(a, b)] = (crop, info)
             rel_points[e] = crop
             if hand_locations and slot_ids[a] in hand_locations:
                 hp = np.asarray(hand_locations[slot_ids[a]], np.float32).reshape(2, 3)

@@ -140,6 +140,31 @@ class SceneBatch:
         return cls(**kwargs, images=children[-1], scan_ids=aux[0], take_idxs=aux[1], slot_names=aux[2])
 
 
+def is_pair_shared(batch: "SceneBatch") -> bool:
+    """True when every valid edge has its reverse in the same scene and the
+    first pair's crops are direction-invariant (prep pair_shared=True) — the
+    precondition for SlotPack.build(paired=True)."""
+    eidx = np.asarray(batch.edge_index)
+    emask = np.asarray(batch.edge_mask)
+    rp = np.asarray(batch.rel_points)
+    checked = False
+    for s in range(emask.shape[0]):
+        slot_of = {(int(a), int(b)): e for e, (a, b) in enumerate(eidx[s]) if emask[s, e]}
+        for (a, b), e in slot_of.items():
+            if (b, a) not in slot_of:
+                return False
+            if not checked and a < b:
+                er = slot_of[(b, a)]
+                f, r = rp[s, e], rp[s, er]
+                if not (
+                    np.array_equal(f[:, :6], r[:, :6])
+                    and np.array_equal(np.where(f[:, 6] > 0, 3.0 - f[:, 6], 0.0), r[:, 6])
+                ):
+                    return False
+                checked = True
+    return checked
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SlotPack:
@@ -152,15 +177,26 @@ class SlotPack:
 
       obj_idx  (Co,) flat indices into S*O; obj_valid (Co,) bool
       edge_idx (Ce,) flat indices into S*E; edge_valid (Ce,) bool
+
+    With ``paired=True`` (requires a batch prepared with pair_shared crops,
+    data/prep.py), a pair plan is added so the eval path encodes each
+    unordered pair once and scatters both directions:
+
+      pair_idx     (Cp,) flat edge-slot indices of the FORWARD (a<b) edges
+      pair_rev_idx (Cp,) flat edge-slot indices of the matching (b,a) edges
+      pair_valid   (Cp,) bool
     """
 
     obj_idx: Any
     obj_valid: Any
     edge_idx: Any
     edge_valid: Any
+    pair_idx: Any = None
+    pair_rev_idx: Any = None
+    pair_valid: Any = None
 
     @classmethod
-    def build(cls, batch: "SceneBatch", bucket: int = 128, shards: int = 1) -> "SlotPack":
+    def build(cls, batch: "SceneBatch", bucket: int = 128, shards: int = 1, paired: bool = False) -> "SlotPack":
         """shards=1: flat plan (indices into the global S*slots axis).
         shards>1: per-data-shard plans of a COMMON bucketed capacity, with
         indices LOCAL to each shard's (S/shards)*slots block — the model's
@@ -197,4 +233,61 @@ class SlotPack:
         p = plan if shards == 1 else plan_sharded
         oi, ov = p(batch.obj_mask)
         ei, ev = p(batch.edge_mask)
-        return cls(obj_idx=oi, obj_valid=ov, edge_idx=ei, edge_valid=ev)
+        if not paired:
+            return cls(obj_idx=oi, obj_valid=ov, edge_idx=ei, edge_valid=ev)
+
+        # pair plan: for every valid forward edge (a < b) find the slot of
+        # its reverse (b, a) within the same scene
+        eidx = np.asarray(batch.edge_index)  # (S, E, 2)
+        emask = np.asarray(batch.edge_mask)
+        S, E = emask.shape
+        fwd_flat, rev_flat = [], []
+        for s in range(S):
+            slot_of = {(int(a), int(b)): e for e, (a, b) in enumerate(eidx[s]) if emask[s, e]}
+            for (a, b), e in slot_of.items():
+                if a < b:
+                    er = slot_of.get((b, a))
+                    if er is None:
+                        raise ValueError(f"scene {s}: edge ({a},{b}) has no reverse — not a pair-shared batch")
+                    fwd_flat.append(s * E + e)
+                    rev_flat.append(s * E + er)
+        if fwd_flat:
+            # sanity: pair-shared crops really are direction-invariant in
+            # xyz/rgb and mask-swapped (guards against packing a batch that
+            # was prepared without pair_shared)
+            rp = np.asarray(batch.rel_points).reshape(S * E, *batch.rel_points.shape[2:])
+            f0, r0 = rp[fwd_flat[0]], rp[rev_flat[0]]
+            if not (np.array_equal(f0[:, :6], r0[:, :6])
+                    and np.array_equal(np.where(f0[:, 6] > 0, 3.0 - f0[:, 6], 0.0), r0[:, 6])):
+                raise ValueError("paired=True but rel crops are not pair-shared (prepare_scene(pair_shared=True))")
+
+        def pair_plan(flat_list):
+            idx = np.asarray(flat_list, np.int64)
+            cap = max(bucket, int(np.ceil(max(len(idx), 1) / bucket)) * bucket)
+            cap = min(cap, S * E)
+            padded = np.zeros(cap, np.int32)
+            padded[: len(idx)] = idx
+            valid = np.zeros(cap, bool)
+            valid[: len(idx)] = True
+            return padded, valid
+
+        if shards == 1:
+            pi, pv = pair_plan(fwd_flat)
+            pr, _ = pair_plan(rev_flat)
+        else:
+            per = S // shards
+            fwd_a, rev_a = np.asarray(fwd_flat, np.int64), np.asarray(rev_flat, np.int64)
+            shard_of = fwd_a // (per * E)
+            locs = [np.nonzero(shard_of == d)[0] for d in range(shards)]
+            need = max(max((len(l) for l in locs), default=1), 1)
+            cap = max(bucket, int(np.ceil(need / bucket)) * bucket)
+            cap = min(cap, per * E)
+            pi = np.zeros((shards, cap), np.int32)
+            pr = np.zeros((shards, cap), np.int32)
+            pv = np.zeros((shards, cap), bool)
+            for d, l in enumerate(locs):
+                pi[d, : len(l)] = fwd_a[l] - d * per * E
+                pr[d, : len(l)] = rev_a[l] - d * per * E
+                pv[d, : len(l)] = True
+        return cls(obj_idx=oi, obj_valid=ov, edge_idx=ei, edge_valid=ev,
+                   pair_idx=pi, pair_rev_idx=pr, pair_valid=pv)

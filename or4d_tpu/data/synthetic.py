@@ -91,6 +91,7 @@ def make_scene_sample(
     points_per_obj: int = 3000,
     take_idx: int = 1,
     scan_idx: int = 0,
+    pair_shared: bool = False,
 ) -> SceneSample:
     ds = ds or DatasetConfig()
     vocab = vocab or DEFAULT_VOCAB
@@ -99,6 +100,7 @@ def make_scene_sample(
     return prepare_scene(
         points, instances, objs, rels, vocab, ds, rng,
         hand_locations=hands, scan_id=f"{take_idx}_{scan_idx:06d}", take_idx=take_idx,
+        pair_shared=pair_shared,
     )
 
 

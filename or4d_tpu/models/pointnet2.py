@@ -142,7 +142,7 @@ class SetAbstractionMSG(nn.Module):
     eval_subtile: int = 32
 
     @nn.compact
-    def __call__(self, xyz, features, mask=None, train: bool = True):
+    def __call__(self, xyz, features, mask=None, train: bool = True, features_alt=None):
         from or4d_tpu.ops.pallas_ball_query import (
             _CHUNK,
             _counts_to_bounds,
@@ -186,6 +186,49 @@ class SetAbstractionMSG(nn.Module):
             DelayedSharedMLP(sc.mlp, radius=sc.radius, nsample=sc.nsample, dtype=self.dtype, name=f"mlp_{si}")
             for si, sc in enumerate(self.scales)
         ]
+
+        if features_alt is not None:
+            # PAIRED eval: the two directions of an unordered relation pair
+            # share xyz (hence FPS, distances, ranks, selection one-hots —
+            # data/prep.py pair_shared) and differ only in the mask feature
+            # channel. One kernel pass computes both: the per-support layer-1
+            # planes are concatenated ([A_fwd | A_rev], filling the 128-lane
+            # padding a 64-wide plane wastes), the folded-BN affines are
+            # tiled, and W1 becomes blockdiag(W1, W1) — every step is exact
+            # (one-hot selection picks single rows; blockdiag adds exact
+            # zeros), so each direction's output is bit-identical to the
+            # unpaired kernel on the same crop.
+            if not (use_v4 and eval_kernel and all(len(sc.mlp) == 2 for sc in self.scales)):
+                raise ValueError("paired SA requires the fused v4 eval kernel path")
+            params = []
+            for m in mlps:
+                A, Bq = m.pre(xyz, features, new_xyz)
+                A_alt, _ = m.pre(xyz, features_alt, new_xyz)
+                a0, b0, W1, a1, b1 = m.fused_eval_params()
+                c1, c2 = W1.shape
+                W1b = (
+                    jnp.zeros((2 * c1, 2 * c2), W1.dtype)
+                    .at[:c1, :c2].set(W1)
+                    .at[c1:, c2:].set(W1)
+                )
+                params.append((
+                    jnp.concatenate([A, A_alt], axis=-1),
+                    jnp.concatenate([Bq, Bq], axis=-1),
+                    jnp.concatenate([a0, a0]), jnp.concatenate([b0, b0]),
+                    W1b,
+                    jnp.concatenate([a1, a1]), jnp.concatenate([b1, b1]),
+                ))
+            outs = ball_query_group_mlp_pallas_v4(
+                scale_spec, xyz, new_xyz, tuple(params),
+                _counts_to_bounds(scale_spec, counts),
+                self.kernel_interpret, None, self.eval_subtile,
+            )
+            # per scale (B, M, 2*C2) -> (B, M, 2, C2): dir axis before channels
+            outs = [
+                jnp.stack([o[..., : o.shape[-1] // 2], o[..., o.shape[-1] // 2 :]], axis=2)
+                for o in outs
+            ]
+            return new_xyz, jnp.concatenate(outs, axis=-1)
 
         if fused or (use_v4 and self.kernel_interpret):
             pres = [m.pre(xyz, features, new_xyz) for m in mlps]
@@ -305,13 +348,20 @@ class PointNet2MSGEncoder(nn.Module):
     # ball-query sample counts per scale; reference (16, 32) and (32, 64)
     sa_nsamples: tuple[tuple[int, int], tuple[int, int]] = ((16, 32), (32, 64))
     dtype: object = jnp.float32
+    fused_mode: str = "auto"  # forwarded to the SA modules
+    kernel_interpret: bool = False
 
     @nn.compact
-    def __call__(self, pc, mask=None, train: bool = True):
-        xyz = pc[..., 0:3].astype(jnp.float32)  # geometry stays f32 (FPS/query exactness)
-        features = pc[..., 3:] if pc.shape[-1] > 3 else None
-
-        xyz, features = SetAbstractionMSG(
+    def __call__(self, pc, mask=None, train: bool = True, paired: bool = False):
+        """``paired=True``: ``pc`` is (B, P, 8) — [xyz, rgb, mask_fwd,
+        mask_rev] pair-shared relation crops (one row per unordered pair).
+        Returns (2B, out_size) with rows interleaved [pair0-fwd, pair0-rev,
+        pair1-fwd, ...]. SA1 runs ONCE per pair through the paired fused
+        kernel (shared FPS/distances/selection); SA2/SA3 run per direction.
+        Off the kernel path the directions are interleaved up front and the
+        standard encoder runs — same results, no sharing."""
+        knobs = dict(fused_mode=self.fused_mode, kernel_interpret=self.kernel_interpret)
+        sa1 = SetAbstractionMSG(
             npoint=self.sa_npoints[0],
             scales=(
                 SAScale(0.1, self.sa_nsamples[0][0], (64, 64)),
@@ -319,8 +369,9 @@ class PointNet2MSGEncoder(nn.Module):
             ),
             dtype=self.dtype,
             name="sa1",
-        )(xyz, features, mask=mask, train=train)
-        xyz, features = SetAbstractionMSG(
+            **knobs,
+        )
+        sa2 = SetAbstractionMSG(
             npoint=self.sa_npoints[1],
             scales=(
                 SAScale(0.2, self.sa_nsamples[1][0], (128, 128)),
@@ -328,8 +379,44 @@ class PointNet2MSGEncoder(nn.Module):
             ),
             dtype=self.dtype,
             name="sa2",
-        )(xyz, features, mask=mask, train=train)
-        _, features = SetAbstractionAll(mlp=(256, self.out_size), dtype=self.dtype, name="sa3")(
-            xyz, features, mask=mask, train=train
+            **knobs,
         )
+        sa3 = SetAbstractionAll(mlp=(256, self.out_size), dtype=self.dtype, name="sa3")
+
+        from or4d_tpu.ops.pallas_ball_query import _CHUNK
+
+        if paired:
+            if self.fused_mode == "auto":
+                kernel_ok = jax.default_backend() == "tpu" and not train
+            else:
+                kernel_ok = self.fused_mode == "eval_kernel"
+            kernel_ok = kernel_ok and pc.shape[1] > _CHUNK
+            if kernel_ok:
+                xyz = pc[..., 0:3].astype(jnp.float32)
+                feats_fwd = pc[..., 3:7]
+                feats_rev = jnp.concatenate([pc[..., 3:6], pc[..., 7:8]], axis=-1)
+                new_xyz, feats = sa1(
+                    xyz, feats_fwd, mask=mask, train=train, features_alt=feats_rev
+                )  # (B, M, 3), (B, M, 2, C)
+                B, M, _, C = feats.shape
+                feats = feats.transpose(0, 2, 1, 3).reshape(B * 2, M, C)
+                xyz2 = jnp.repeat(new_xyz, 2, axis=0)
+                mask2 = jnp.repeat(mask, 2, axis=0) if mask is not None else None
+                xyz2, feats = sa2(xyz2, feats, mask=mask2, train=train)
+                _, feats = sa3(xyz2, feats, mask=mask2, train=train)
+                return feats  # (2B, out_size) interleaved fwd/rev
+            # fallback: interleave directions and run the standard encoder
+            pc2 = jnp.stack(
+                [pc[..., 0:7], jnp.concatenate([pc[..., 0:6], pc[..., 7:8]], axis=-1)],
+                axis=1,
+            ).reshape((pc.shape[0] * 2,) + pc.shape[1:-1] + (7,))
+            pc = pc2
+            mask = jnp.repeat(mask, 2, axis=0) if mask is not None else None
+
+        xyz = pc[..., 0:3].astype(jnp.float32)  # geometry stays f32 (FPS/query exactness)
+        features = pc[..., 3:] if pc.shape[-1] > 3 else None
+
+        xyz, features = sa1(xyz, features, mask=mask, train=train)
+        xyz, features = sa2(xyz, features, mask=mask, train=train)
+        _, features = sa3(xyz, features, mask=mask, train=train)
         return features

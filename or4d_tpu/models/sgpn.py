@@ -92,6 +92,10 @@ class SGPN(nn.Module):
         obj_rows_mask = batch.obj_mask.reshape(S * O).astype(jnp.float32)
         edge_rows_mask = batch.edge_mask.reshape(S * E).astype(jnp.float32)
         sharded_pack = pack is not None and pack.obj_idx.ndim == 2
+        # paired eval: pair-shared crops (data/prep.py) + a SlotPack pair plan
+        # let the rel encoder run once per unordered pair (shared geometry),
+        # emitting both directions' features (models/pointnet2.py)
+        paired = (not train) and pack is not None and getattr(pack, "pair_idx", None) is not None
         if sharded_pack:
             # per-dp-shard plans (SlotPack.build(shards=dp)): batched gathers
             # whose indices are local to each shard's scene block, so SPMD
@@ -107,23 +111,37 @@ class SGPN(nn.Module):
                 return g.reshape((D * idx.shape[1],) + flat.shape[1:])
 
             obj_flat = gather_local(obj_flat, pack.obj_idx)
-            rel_flat = gather_local(rel_flat, pack.edge_idx)
             obj_rows_mask = pack.obj_valid.reshape(-1).astype(jnp.float32)
-            edge_rows_mask = pack.edge_valid.reshape(-1).astype(jnp.float32)
+            if paired:
+                rel_flat = gather_local(rel_flat, pack.pair_idx)
+                edge_rows_mask = pack.pair_valid.reshape(-1).astype(jnp.float32)
+            else:
+                rel_flat = gather_local(rel_flat, pack.edge_idx)
+                edge_rows_mask = pack.edge_valid.reshape(-1).astype(jnp.float32)
         elif pack is not None:
             # slot packing: run the encoders only over (bucketed) valid rows,
             # then scatter features back into the padded (S, O/E) layout
             obj_flat = jnp.take(obj_flat, pack.obj_idx, axis=0)
-            rel_flat = jnp.take(rel_flat, pack.edge_idx, axis=0)
             obj_rows_mask = pack.obj_valid.astype(jnp.float32)
-            edge_rows_mask = pack.edge_valid.astype(jnp.float32)
+            if paired:
+                rel_flat = jnp.take(rel_flat, pack.pair_idx, axis=0)
+                edge_rows_mask = pack.pair_valid.astype(jnp.float32)
+            else:
+                rel_flat = jnp.take(rel_flat, pack.edge_idx, axis=0)
+                edge_rows_mask = pack.edge_valid.astype(jnp.float32)
+        if paired:
+            # (Cp, Pr, 7) forward crops -> (Cp, Pr, 8) with both mask channels
+            m = rel_flat[..., 6:7]
+            rel_flat = jnp.concatenate(
+                [rel_flat[..., :6], m, jnp.where(m > 0, 3.0 - m, 0.0)], axis=-1
+            )
 
         enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples, dtype=self.compute_dtype)
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
             obj_flat, mask=obj_rows_mask, train=train
         )
         rel_feat = PointNet2MSGEncoder(input_dim=Cr, out_size=self.edge_feature_size, name="rel_encoder", **enc)(
-            rel_flat, mask=edge_rows_mask, train=train
+            rel_flat, mask=edge_rows_mask, train=train, paired=paired
         )
         if sharded_pack:
             D = pack.obj_idx.shape[0]
@@ -134,12 +152,27 @@ class SGPN(nn.Module):
                 return z.at[jnp.arange(D)[:, None], idx].add(f).reshape(rows, width)
 
             obj_feat = scatter_local(obj_feat, pack.obj_idx, pack.obj_valid, S * O, self.point_feature_size)
-            rel_feat = scatter_local(rel_feat, pack.edge_idx, pack.edge_valid, S * E, self.edge_feature_size)
+            if paired:
+                rel_feat = scatter_local(
+                    rel_feat[0::2], pack.pair_idx, pack.pair_valid, S * E, self.edge_feature_size
+                ) + scatter_local(
+                    rel_feat[1::2], pack.pair_rev_idx, pack.pair_valid, S * E, self.edge_feature_size
+                )
+            else:
+                rel_feat = scatter_local(rel_feat, pack.edge_idx, pack.edge_valid, S * E, self.edge_feature_size)
         elif pack is not None:
             ov = pack.obj_valid[:, None].astype(obj_feat.dtype)
-            ev = pack.edge_valid[:, None].astype(rel_feat.dtype)
             obj_feat = jnp.zeros((S * O, self.point_feature_size), obj_feat.dtype).at[pack.obj_idx].add(obj_feat * ov)
-            rel_feat = jnp.zeros((S * E, self.edge_feature_size), rel_feat.dtype).at[pack.edge_idx].add(rel_feat * ev)
+            if paired:
+                pv = pack.pair_valid[:, None].astype(rel_feat.dtype)
+                rel_feat = (
+                    jnp.zeros((S * E, self.edge_feature_size), rel_feat.dtype)
+                    .at[pack.pair_idx].add(rel_feat[0::2] * pv)
+                    .at[pack.pair_rev_idx].add(rel_feat[1::2] * pv)
+                )
+            else:
+                ev = pack.edge_valid[:, None].astype(rel_feat.dtype)
+                rel_feat = jnp.zeros((S * E, self.edge_feature_size), rel_feat.dtype).at[pack.edge_idx].add(rel_feat * ev)
         obj_feat = obj_feat.reshape(S, O, self.point_feature_size)
         rel_feat = rel_feat.reshape(S, E, self.edge_feature_size)
 

@@ -141,16 +141,18 @@ class Trainer:
         self._jit_cache[name] = fn
         return fn
 
-    def _pack_for(self, batch: SceneBatch):
+    def _pack_for(self, batch: SceneBatch, paired: bool = False):
         """Slot packing skips padded object/edge rows through the encoders.
         Single device: one flat plan. dp>1 (mp=1): per-shard plans whose
         gathers stay inside each dp shard (SlotPack.build(shards=dp)),
         sharded over 'dp'. mp>1 shards the slot axes themselves, which a
-        compaction over slots would re-mix — packing is skipped there."""
+        compaction over slots would re-mix — packing is skipped there.
+        ``paired``: add the eval pair plan (encode each unordered relation
+        pair once — requires pair-shared crops, data/prep.py)."""
         from or4d_tpu.data.scene_batch import SlotPack
 
         if self.mesh.devices.size == 1:
-            return SlotPack.build(batch)
+            return SlotPack.build(batch, paired=paired)
         dp = self.mesh.shape["dp"]
         if self.mesh.shape["mp"] != 1 or batch.num_scenes % dp:
             if self.mesh.shape["mp"] != 1 and not getattr(self, "_warned_mp_pack", False):
@@ -165,7 +167,7 @@ class Trainer:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        pack = SlotPack.build(batch, shards=dp)
+        pack = SlotPack.build(batch, shards=dp, paired=paired)
         sh = NamedSharding(self.mesh, P("dp"))
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), pack)
 
@@ -177,9 +179,13 @@ class Trainer:
             return self._jitted("train")(state, shard_batch(batch, self.mesh), key, pack)
 
     def eval_step(self, state: TrainState, batch: SceneBatch):
+        from or4d_tpu.data.scene_batch import is_pair_shared
+
         if batch.num_scenes % self.mesh.shape["dp"]:
             batch = batch.pad_scenes(self.mesh.shape["dp"])
-        pack = self._pack_for(batch)
+        # pair-shared batches (ORDataset for_eval / bench) encode each
+        # unordered relation pair once through the paired rel encoder
+        pack = self._pack_for(batch, paired=is_pair_shared(batch))
         with self.mesh:
             rel, obj = self._jitted("eval")(state, shard_batch(batch, self.mesh), pack)
         return _gather_eval(rel), _gather_eval(obj)
