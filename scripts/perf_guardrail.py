@@ -22,10 +22,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/or4d_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # recorded bests (ms at 640 rows x 512 queries x 8000 pts, both SA1 scales)
-# + 10% grace; see PERF.md round-4 table
+# + 10% grace; see PERF.md round-4 table. None = record only (no recorded
+# best yet — tighten alongside a PERF.md entry once measured).
 BUDGETS = {
     "fps_with_counts": 110.0,
     "sa1_rel_v4": 165.0,
+    # paired kernel: 320 pair rows with [A_fwd|A_rev] 128-lane planes and
+    # blockdiag W1 — the direction-pair-sharing eval path (PERF.md round-5)
+    "sa1_rel_v4_paired": None,
 }
 
 
@@ -77,13 +81,42 @@ def main() -> int:
         xyz, q, params, bounds,
     )
 
-    results = {"fps_with_counts": t_fps, "sa1_rel_v4": t_sa1}
+    # paired stage: half the rows, doubled feature planes / tiled affines /
+    # blockdiag W1 — exactly what the paired SA1 path feeds the v4 kernel
+    prows = rows // 2
+    pxyz = xyz[:prows]
+    pidx, pcounts = furthest_point_sample_with_counts(pxyz, 512, (0.1, 0.2))
+    pq = jnp.take_along_axis(pxyz, pidx[..., None], axis=1)
+    pbounds = _counts_to_bounds(scales, tuple(pcounts))
+    pparams = []
+    for A, Bq, a0, b0, W1, a1, b1 in params:
+        c1, c2 = W1.shape
+        W1b = jnp.zeros((2 * c1, 2 * c2), W1.dtype).at[:c1, :c2].set(W1).at[c1:, c2:].set(W1)
+        pparams.append((
+            jnp.concatenate([A[:prows], A[:prows]], axis=-1),
+            jnp.concatenate([Bq[:prows], Bq[:prows]], axis=-1),
+            jnp.concatenate([a0, a0]), jnp.concatenate([b0, b0]),
+            W1b,
+            jnp.concatenate([a1, a1]), jnp.concatenate([b1, b1]),
+        ))
+    pparams = tuple(pparams)
+    jax.block_until_ready(pparams)
+    t_paired = timeit(
+        lambda x, nq, p, b: ball_query_group_mlp_pallas_v4(scales, x, nq, p, b, False, None, 32, True),
+        pxyz, pq, pparams, pbounds,
+    )
+
+    results = {"fps_with_counts": t_fps, "sa1_rel_v4": t_sa1, "sa1_rel_v4_paired": t_paired}
     ok = True
     for k, v in results.items():
-        status = "OK" if v <= BUDGETS[k] else "REGRESSION"
-        if v > BUDGETS[k]:
+        budget = BUDGETS[k]
+        if budget is None:
+            print(f"{k:24s} {v:8.2f} ms (no budget yet — record only)")
+            continue
+        status = "OK" if v <= budget else "REGRESSION"
+        if v > budget:
             ok = False
-        print(f"{k:24s} {v:8.2f} ms (budget {BUDGETS[k]:.1f}) {status}")
+        print(f"{k:24s} {v:8.2f} ms (budget {budget:.1f}) {status}")
     return 0 if ok else 1
 
 
