@@ -31,6 +31,10 @@ def main() -> None:
     # throughput at modest (~0.6 s) batch latency is the serving-relevant
     # number; batch_ms is reported alongside.
     ap.add_argument("--scenes", type=int, default=16, help="scenes per batch")
+    ap.add_argument(
+        "--paired-sa2", action="store_true",
+        help="extend eval pair sharing to the rel encoder's SA2 (exact; A/B knob)",
+    )
     args = ap.parse_args()
     import jax
 
@@ -55,7 +59,10 @@ def main() -> None:
         pair_shared=not args.train,
     )
 
-    model = SGPN(num_classes=12, num_relations=15, compute_dtype=jnp.bfloat16)
+    model = SGPN(
+        num_classes=12, num_relations=15, compute_dtype=jnp.bfloat16,
+        paired_sa2=args.paired_sa2,
+    )
     variables = jax.jit(
         lambda b: model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, b, train=False)
     )(batch)

@@ -198,8 +198,13 @@ class SetAbstractionMSG(nn.Module):
             # (one-hot selection picks single rows; blockdiag adds exact
             # zeros), so each direction's output is bit-identical to the
             # unpaired kernel on the same crop.
-            if not (use_v4 and eval_kernel and all(len(sc.mlp) == 2 for sc in self.scales)):
-                raise ValueError("paired SA requires the fused v4 eval kernel path")
+            kernel_ok = (
+                (fused or self.kernel_interpret)
+                and eval_kernel
+                and all(len(sc.mlp) == 2 for sc in self.scales)
+            )
+            if not kernel_ok:
+                raise ValueError("paired SA requires the fused eval kernel path")
             params = []
             for m in mlps:
                 A, Bq = m.pre(xyz, features, new_xyz)
@@ -218,11 +223,21 @@ class SetAbstractionMSG(nn.Module):
                     W1b,
                     jnp.concatenate([a1, a1]), jnp.concatenate([b1, b1]),
                 ))
-            outs = ball_query_group_mlp_pallas_v4(
-                scale_spec, xyz, new_xyz, tuple(params),
-                _counts_to_bounds(scale_spec, counts),
-                self.kernel_interpret, None, self.eval_subtile,
-            )
+            if counts is not None:
+                outs = ball_query_group_mlp_pallas_v4(
+                    scale_spec, xyz, new_xyz, tuple(params),
+                    _counts_to_bounds(scale_spec, counts),
+                    self.kernel_interpret, None, self.eval_subtile,
+                )
+            else:
+                # single-chunk supports (e.g. SA2's 512 SA1 centroids): the
+                # ungated fused kernel — there is nothing for the v4 gates to
+                # skip, but FPS/distances/prefix/compares still run once per
+                # PAIR instead of once per direction
+                outs = ball_query_group_mlp_pallas(
+                    scale_spec, xyz, new_xyz, tuple(params),
+                    self.kernel_interpret, None, False, self.eval_subtile,
+                )
             # per scale (B, M, 2*C2) -> (B, M, 2, C2): dir axis before channels
             outs = [
                 jnp.stack([o[..., : o.shape[-1] // 2], o[..., o.shape[-1] // 2 :]], axis=2)
@@ -350,6 +365,12 @@ class PointNet2MSGEncoder(nn.Module):
     dtype: object = jnp.float32
     fused_mode: str = "auto"  # forwarded to the SA modules
     kernel_interpret: bool = False
+    # extend pair sharing to SA2 (shared FPS/distances/selection over the 512
+    # SA1 centroids — xyz is direction-invariant; only features differ). Exact
+    # like SA1 pairing; opt-in until measured on-chip (selection MACs are
+    # unchanged — C doubles while rows halve — only the per-row fixed work
+    # halves, so the win is expected small).
+    paired_sa2: bool = False
 
     @nn.compact
     def __call__(self, pc, mask=None, train: bool = True, paired: bool = False):
@@ -398,6 +419,17 @@ class PointNet2MSGEncoder(nn.Module):
                 new_xyz, feats = sa1(
                     xyz, feats_fwd, mask=mask, train=train, features_alt=feats_rev
                 )  # (B, M, 3), (B, M, 2, C)
+                if self.paired_sa2:
+                    xyz2, feats = sa2(
+                        new_xyz, feats[:, :, 0], mask=mask, train=train,
+                        features_alt=feats[:, :, 1],
+                    )  # (B, M2, 3), (B, M2, 2, C2)
+                    B, M2, _, C2 = feats.shape
+                    feats = feats.transpose(0, 2, 1, 3).reshape(B * 2, M2, C2)
+                    xyz3 = jnp.repeat(xyz2, 2, axis=0)
+                    mask2 = jnp.repeat(mask, 2, axis=0) if mask is not None else None
+                    _, feats = sa3(xyz3, feats, mask=mask2, train=train)
+                    return feats  # (2B, out_size) interleaved fwd/rev
                 B, M, _, C = feats.shape
                 feats = feats.transpose(0, 2, 1, 3).reshape(B * 2, M, C)
                 xyz2 = jnp.repeat(new_xyz, 2, axis=0)

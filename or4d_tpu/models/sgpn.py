@@ -62,6 +62,9 @@ class SGPN(nn.Module):
     # encoder SA centroid counts (reference 512/128); reduced only in tests
     sa_npoints: tuple[int, int] = (512, 128)
     sa_nsamples: tuple[tuple[int, int], tuple[int, int]] = ((16, 32), (32, 64))
+    # extend eval pair sharing to the rel encoder's SA2 (exact; opt-in until
+    # measured on-chip — see PointNet2MSGEncoder.paired_sa2)
+    paired_sa2: bool = False
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig, num_classes: int, num_relations: int) -> "SGPN":
@@ -140,9 +143,10 @@ class SGPN(nn.Module):
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
             obj_flat, mask=obj_rows_mask, train=train
         )
-        rel_feat = PointNet2MSGEncoder(input_dim=Cr, out_size=self.edge_feature_size, name="rel_encoder", **enc)(
-            rel_flat, mask=edge_rows_mask, train=train, paired=paired
-        )
+        rel_feat = PointNet2MSGEncoder(
+            input_dim=Cr, out_size=self.edge_feature_size, name="rel_encoder",
+            paired_sa2=self.paired_sa2, **enc,
+        )(rel_flat, mask=edge_rows_mask, train=train, paired=paired)
         if sharded_pack:
             D = pack.obj_idx.shape[0]
 

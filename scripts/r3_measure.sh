@@ -22,5 +22,8 @@ run python bench.py --scenes 8
 run python bench.py --scenes 32
 # 4. train-path number for the PERF table
 run python bench.py --train --scenes 8
+# 5. A/B: SA2 pair sharing (exact, opt-in; run last so a compile failure
+#    cannot cost the main numbers)
+run python bench.py --scenes 16 --paired-sa2
 
 echo "=== DONE $(date +%H:%M:%S) ===" | tee -a "$LOG"

@@ -130,6 +130,14 @@ class TestPairedKernel:
         got = enc_k.apply(variables, pc8, train=False, paired=True)
         assert got.shape == (2 * B, 32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+        # paired_sa2: SA2 also runs once per pair (shared FPS/distances over
+        # the SA1 centroids) — same results, same parameters
+        enc_k2 = PointNet2MSGEncoder(
+            fused_mode="eval_kernel", kernel_interpret=True, paired_sa2=True, **kw
+        )
+        got2 = enc_k2.apply(variables, pc8, train=False, paired=True)
+        assert got2.shape == (2 * B, 32)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
 class TestSGPNPaired:
