@@ -35,6 +35,10 @@ def main() -> None:
         "--paired-sa2", action="store_true",
         help="extend eval pair sharing to the rel encoder's SA2 (exact; A/B knob)",
     )
+    ap.add_argument(
+        "--packed-chain", action="store_true",
+        help="lane-pack C=64 grouped planes through the train BN/MLP chain (exact; A/B knob)",
+    )
     args = ap.parse_args()
     import jax
 
@@ -89,7 +93,8 @@ def main() -> None:
         from or4d_tpu.data.vocab import DEFAULT_VOCAB
         from or4d_tpu.train.loop import Trainer
 
-        cfg = ExperimentConfig(tpu=TPUConfig(scene_batch=S, donate_state=False, compute_dtype="bfloat16"))
+        cfg = ExperimentConfig(tpu=TPUConfig(scene_batch=S, donate_state=False, compute_dtype="bfloat16",
+                                             packed_chain=args.packed_chain))
         trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
         state = trainer.init_state(jax.random.key(0), batch)
         key = jax.random.key(1)

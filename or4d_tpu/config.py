@@ -148,6 +148,9 @@ class TPUConfig:
     compute_dtype: str = "float32"  # "bfloat16" for the matmul-heavy path
     remat: bool = False             # jax.checkpoint over encoder stages
     donate_state: bool = True
+    # lane-pack C<128 grouped planes through the train BN/MLP chain (exact;
+    # opt-in until measured on-chip — SetAbstractionMSG.packed_chain)
+    packed_chain: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

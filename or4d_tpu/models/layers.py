@@ -32,8 +32,16 @@ class MaskedBatchNorm(nn.Module):
     track_running_stats: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array | None = None, train: bool = True) -> jax.Array:
-        # x: (..., C); mask broadcastable to x[..., 0]
+    def __call__(self, x: jax.Array, mask: jax.Array | None = None, train: bool = True, packed: int = 1) -> jax.Array:
+        # x: (..., C); mask broadcastable to x[..., 0].
+        #
+        # packed > 1: x is (..., packed*C) with ``packed`` logical rows
+        # side by side in the lane axis ((M, C) -> (M/packed, packed*C)
+        # row-major packing — full 128-lane tiles for C < 128). Parameters
+        # and running stats stay (C,); lane statistics are folded across the
+        # ``packed`` groups, which is the same multiset of entries per
+        # channel (reassociation only). Requires the mask to be uniform
+        # across the packed axis (per-cloud row masks are).
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
@@ -42,10 +50,19 @@ class MaskedBatchNorm(nn.Module):
         else:
             m = jnp.broadcast_to(mask.astype(jnp.float32), x.shape[:-1])
         m = m[..., None]
-        count = jnp.maximum(jnp.sum(m), 1.0)
+        count = jnp.maximum(jnp.sum(m) * packed, 1.0)
         xf = x.astype(jnp.float32)
-        mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / count
-        var = jnp.sum(((xf - mean) ** 2) * m, axis=tuple(range(x.ndim - 1))) / count
+        red = tuple(range(x.ndim - 1))
+
+        def _fold(lane_sums):
+            # (packed*C,) lane sums -> (C,) channel sums (tiny vector op)
+            return lane_sums.reshape(packed, self.features).sum(0) if packed > 1 else lane_sums
+
+        def _tile(v):
+            return jnp.tile(v, packed) if packed > 1 else v
+
+        mean = _fold(jnp.sum(xf * m, axis=red)) / count
+        var = _fold(jnp.sum(((xf - _tile(mean)) ** 2) * m, axis=red)) / count
 
         if self.track_running_stats:
             ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
@@ -58,8 +75,8 @@ class MaskedBatchNorm(nn.Module):
             else:
                 mean, var = ra_mean.value, ra_var.value
 
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        return (y * scale + bias).astype(x.dtype)
+        y = (xf - _tile(mean)) * jax.lax.rsqrt(_tile(var) + self.eps)
+        return (y * _tile(scale) + _tile(bias)).astype(x.dtype)
 
 
 class SharedMLP(nn.Module):

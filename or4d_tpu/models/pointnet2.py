@@ -84,17 +84,38 @@ class DelayedSharedMLP(nn.Module):
         Bq = self.dense_layers[0](pad_q)  # (B, M, C1)
         return A, Bq
 
-    def post(self, gathered, Bq, mask=None, train: bool = True, slot_major: bool = False):
+    def post(self, gathered, Bq, mask=None, train: bool = True, slot_major: bool = False, packed: int = 1):
         """BN/ReLU + the remaining conv layers on the grouped tensor —
         (B, M, ns, C), or (B, ns, M, C) when ``slot_major`` (the gated train
-        kernel's native layout; BN statistics are axis-order invariant)."""
-        h = gathered - (Bq[:, None, :, :] if slot_major else Bq[:, :, None, :])
+        kernel's native layout; BN statistics are axis-order invariant).
+
+        ``packed > 1`` (slot-major only): ``gathered`` is
+        (B, ns, M/packed, packed*C) — consecutive query rows packed into the
+        lane axis so every chain tensor rides full 128-lane tiles (a C=64
+        plane otherwise wastes half its HBM tiles on lane padding). BN folds
+        lane statistics back per channel; each conv applies
+        blockdiag(W, ..., W) — exact up to float reassociation. The caller
+        unpacks after pooling. ``Bq`` stays (B, M, C)."""
+        if packed > 1:
+            assert slot_major, "packed chain is defined for the slot-major layout"
+            B, M, C = Bq.shape
+            Bqp = Bq.reshape(B, M // packed, packed * C)
+            h = gathered - Bqp[:, None, :, :]
+        else:
+            h = gathered - (Bq[:, None, :, :] if slot_major else Bq[:, :, None, :])
         m = _expand_mask(mask, h)
-        h = self.bn_layers[0](h, mask=m, train=train)
+        h = self.bn_layers[0](h, mask=m, train=train, packed=packed)
         h = nn.relu(h)
         for dense, bn in zip(self.dense_layers[1:], self.bn_layers[1:]):
-            h = dense(h)
-            h = bn(h, mask=m, train=train)
+            if packed > 1:
+                # blockdiag apply keeps rows packed; W recovered through the
+                # module (identity probe) so parameter naming is untouched
+                cin = h.shape[-1] // packed
+                W = dense(jnp.eye(cin, dtype=self.dtype))
+                h = h.astype(self.dtype) @ jnp.kron(jnp.eye(packed, dtype=self.dtype), W)
+            else:
+                h = dense(h)
+            h = bn(h, mask=m, train=train, packed=packed)
             h = nn.relu(h)
         return h
 
@@ -140,6 +161,11 @@ class SetAbstractionMSG(nn.Module):
     # two-gate sub-tiling for the fused eval kernel (rows per gate group;
     # 0 = static unroll). Exact — see ball_query_group_mlp_pallas.
     eval_subtile: int = 32
+    # pack (M, C<128) grouped planes as (M/p, p*C) through the train-path
+    # BN/MLP chain so every chain tensor rides full 128-lane HBM tiles (a
+    # 64-wide bf16 plane otherwise wastes half its tiles on lane padding,
+    # PERF.md round-4). Exact up to BN reassociation; opt-in until measured.
+    packed_chain: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True, features_alt=None):
@@ -295,19 +321,21 @@ class SetAbstractionMSG(nn.Module):
                 # grouped tensors are SLOT-MAJOR (B, ns, M, C) — BN/MLP run
                 # in that layout (stats reduce over every non-channel axis,
                 # so axis order is irrelevant), maxpool over axis 1, and only
-                # the pooled (B, M, C2) result is un-permuted
-                outs = [
-                    jnp.take_along_axis(
-                        jnp.max(
-                            m.post(g, jnp.take_along_axis(Bq, order[..., None], axis=1),
-                                   mask=mask, train=train, slot_major=True),
-                            axis=1,
-                        ),
-                        inv_order[..., None],
-                        axis=1,
-                    )
-                    for m, g, (_, Bq) in zip(mlps, grouped, pres)
-                ]
+                # the pooled (B, M, C2) result is un-permuted. packed_chain
+                # additionally folds p=128/C rows into the lane axis for the
+                # whole chain (exact; see DelayedSharedMLP.post).
+                outs = []
+                for m, g, (_, Bq) in zip(mlps, grouped, pres):
+                    Bqs = jnp.take_along_axis(Bq, order[..., None], axis=1)
+                    Bb, ns, M, C = g.shape
+                    p = 128 // C if (self.packed_chain and 128 % C == 0 and C < 128 and M % (128 // C) == 0) else 1
+                    if p > 1:
+                        g = g.reshape(Bb, ns, M // p, p * C)
+                    h = m.post(g, Bqs, mask=mask, train=train, slot_major=True, packed=p)
+                    pooled = jnp.max(h, axis=1)  # (B, M/p, p*C2)
+                    if p > 1:
+                        pooled = pooled.reshape(Bb, M, pooled.shape[-1] // p)
+                    outs.append(jnp.take_along_axis(pooled, inv_order[..., None], axis=1))
                 return new_xyz, jnp.concatenate(outs, axis=-1)
             grouped = ball_query_group_pallas(
                 scale_spec, xyz, new_xyz, tuple(A for A, _ in pres), self.kernel_interpret
@@ -371,6 +399,9 @@ class PointNet2MSGEncoder(nn.Module):
     # unchanged — C doubles while rows halve — only the per-row fixed work
     # halves, so the win is expected small).
     paired_sa2: bool = False
+    # lane-pack C<128 grouped planes through the train-path BN/MLP chain
+    # (exact; opt-in until measured — see SetAbstractionMSG.packed_chain)
+    packed_chain: bool = False
 
     @nn.compact
     def __call__(self, pc, mask=None, train: bool = True, paired: bool = False):
@@ -381,7 +412,8 @@ class PointNet2MSGEncoder(nn.Module):
         kernel (shared FPS/distances/selection); SA2/SA3 run per direction.
         Off the kernel path the directions are interleaved up front and the
         standard encoder runs — same results, no sharing."""
-        knobs = dict(fused_mode=self.fused_mode, kernel_interpret=self.kernel_interpret)
+        knobs = dict(fused_mode=self.fused_mode, kernel_interpret=self.kernel_interpret,
+                     packed_chain=self.packed_chain)
         sa1 = SetAbstractionMSG(
             npoint=self.sa_npoints[0],
             scales=(

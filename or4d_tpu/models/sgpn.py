@@ -65,6 +65,9 @@ class SGPN(nn.Module):
     # extend eval pair sharing to the rel encoder's SA2 (exact; opt-in until
     # measured on-chip — see PointNet2MSGEncoder.paired_sa2)
     paired_sa2: bool = False
+    # lane-pack C<128 grouped planes through the train-path BN/MLP chain
+    # (exact; opt-in until measured — see SetAbstractionMSG.packed_chain)
+    packed_chain: bool = False
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig, num_classes: int, num_relations: int) -> "SGPN":
@@ -81,6 +84,7 @@ class SGPN(nn.Module):
             compute_dtype=jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32,
             sa_npoints=tuple(cfg.model.sa_npoints),
             sa_nsamples=tuple(tuple(s) for s in cfg.model.sa_nsamples),
+            packed_chain=cfg.tpu.packed_chain,
         )
 
     @nn.compact
@@ -139,7 +143,8 @@ class SGPN(nn.Module):
                 [rel_flat[..., :6], m, jnp.where(m > 0, 3.0 - m, 0.0)], axis=-1
             )
 
-        enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples, dtype=self.compute_dtype)
+        enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples,
+                   dtype=self.compute_dtype, packed_chain=self.packed_chain)
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
             obj_flat, mask=obj_rows_mask, train=train
         )

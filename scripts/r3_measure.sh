@@ -20,10 +20,17 @@ run python scripts/perf_guardrail.py
 run python bench.py --scenes 16
 run python bench.py --scenes 8
 run python bench.py --scenes 32
+run python bench.py --scenes 64
 # 4. train-path number for the PERF table
 run python bench.py --train --scenes 8
 # 5. A/B: SA2 pair sharing (exact, opt-in; run last so a compile failure
 #    cannot cost the main numbers)
 run python bench.py --scenes 16 --paired-sa2
+# 6. train amortization: does S=16 lift the 11.2 at S=8?
+run python bench.py --train --scenes 16
+# 7. A/B: lane-packed train BN/MLP chain (exact; halves C=64 plane traffic
+#    AND peak grouped-plane memory)
+run python bench.py --train --scenes 8 --packed-chain
+run python bench.py --train --scenes 16 --packed-chain
 
 echo "=== DONE $(date +%H:%M:%S) ===" | tee -a "$LOG"

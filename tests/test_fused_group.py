@@ -314,6 +314,44 @@ class TestFusedGroupMLPSorted:
         np.testing.assert_allclose(np.asarray(nx_k), np.asarray(nx_i), atol=1e-6)
         np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_i), rtol=1e-4, atol=1e-4)
 
+    def test_sa_stage_train_gated_packed_chain(self):
+        """packed_chain lane-packs the C<128 grouped planes through the
+        BN/MLP chain ((M, C) -> (M/p, p*C), folded BN stats, blockdiag
+        convs) — same outputs, same batch_stats, same grads up to
+        reassociation."""
+        import jax
+
+        from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
+
+        rng = np.random.default_rng(62)
+        B, N = 2, 1100
+        pc = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((B, N, 5)).astype(np.float32))
+        scales = (SAScale(0.15, 4, (16, 24)), SAScale(0.3, 6, (32, 16)))
+        kw = dict(npoint=128, scales=scales, fused_mode="train_kernel",
+                  kernel_interpret=True, eval_subtile=32)
+        plain = SetAbstractionMSG(**kw)
+        packed = SetAbstractionMSG(packed_chain=True, **kw)
+        v = plain.init(jax.random.key(0), pc, feats, train=True)
+        (nx_p, f_p), mut_p = plain.apply(v, pc, feats, train=True, mutable=["batch_stats"])
+        (nx_k, f_k), mut_k = packed.apply(v, pc, feats, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(nx_k), np.asarray(nx_p), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_p), rtol=1e-4, atol=1e-4)
+        for (kp, sp), (kk, sk) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(mut_p["batch_stats"]), key=str),
+            sorted(jax.tree_util.tree_leaves_with_path(mut_k["batch_stats"]), key=str),
+        ):
+            assert str(kp) == str(kk)
+            np.testing.assert_allclose(np.asarray(sk), np.asarray(sp), rtol=1e-5, atol=1e-5)
+
+        def loss(mod, f):
+            _, out = mod.apply(v, pc, f, train=True, mutable=["batch_stats"])[0]
+            return jnp.sum(out * out)
+
+        g_p = jax.grad(lambda f: loss(plain, f))(feats)
+        g_k = jax.grad(lambda f: loss(packed, f))(feats)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_p), rtol=2e-3, atol=2e-3)
+
     def test_sa_stage_v4_end_to_end(self):
         """SetAbstractionMSG's v4 eval path (FPS-fused counts -> bounds ->
         v4 kernel, interpret mode) equals the index path."""
