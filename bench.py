@@ -110,15 +110,19 @@ def main() -> None:
     else:
         fwd = jax.jit(lambda v, b, p: model.apply(v, b, train=False, pack=p).rel_logprobs.sum())
         run = lambda: float(fwd(variables, batch, pack))
+        paired = True
         try:
             run()  # compile + warm
         except Exception as e:  # noqa: BLE001 — any compile/runtime failure
             # Safety net: if the paired eval path fails to compile/run on
             # this backend (it shares the v4 kernel but at new operand
             # shapes), fall back to the measured unpaired path rather than
-            # losing the benchmark. A fallback is loud on stderr.
+            # losing the benchmark. A fallback is loud on stderr AND in the
+            # JSON line ("paired": false) so a demoted number can't pass as
+            # the paired one.
             print(f"paired eval path failed ({type(e).__name__}: {e}); "
                   "falling back to the unpaired pack", file=sys.stderr)
+            paired = False
             pack = jax.device_put(pack_plain)
             run = lambda: float(fwd(variables, batch, pack))
             run()
@@ -135,18 +139,27 @@ def main() -> None:
     scenes_per_sec = S / dt
     print("per-iter ms:", [round(t * 1e3, 1) for t in times], file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(scenes_per_sec, 3),
-                "unit": "scenes/sec",
-                "vs_baseline": round(scenes_per_sec / 10.0, 3),
-                "scenes_per_batch": S,
-                "batch_ms": round(dt * 1e3, 1),
-            }
-        )
-    )
+    # path provenance: which kernel configuration actually produced the
+    # number (a silent fallback must be visible in the parsed JSON)
+    if args.train:
+        path = "train+packed_chain" if args.packed_chain else "train"
+    else:
+        path = "eval"
+        path += "+paired" if paired else "+UNPAIRED_FALLBACK"
+        if args.paired_sa2:
+            path += "+paired_sa2"
+    record = {
+        "metric": metric,
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/sec",
+        "vs_baseline": round(scenes_per_sec / 10.0, 3),
+        "scenes_per_batch": S,
+        "batch_ms": round(dt * 1e3, 1),
+        "path": path,
+    }
+    if not args.train:
+        record["paired"] = paired
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strict-data", action="store_true",
                    help="fail instead of synthesizing geometry for scans whose raw files are missing")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--torch-checkpoint", default=None,
+        help="reference .pth state_dict (e.g. paper_model_no_gt_no_images.pth) "
+             "to evaluate/infer with — the reference's paper_weight path "
+             "(scene_graph_prediction/main.py:74-79); takes precedence over "
+             "--checkpoint-dir",
+    )
     p.add_argument("--split", default=None, help="infer/evaluate split (default: val for evaluate, test for infer)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
@@ -478,7 +485,29 @@ def main(argv: list[str] | None = None) -> int:
         sample = next(train_ds.batches(batch_size))
         state = trainer.init_state(jax.random.key(args.seed), sample)
         restored = False
-        if args.checkpoint_dir:
+        if args.torch_checkpoint:
+            # paper-weight path (reference main.py:74-79: raw load_state_dict
+            # of paper_model_no_gt_no_images.pth); also accepts a Lightning
+            # .ckpt dict wrapping the state_dict
+            import torch
+
+            from or4d_tpu.utils.torch_import import import_sgpn_state_dict
+
+            sd = torch.load(args.torch_checkpoint, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            variables = {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            }
+            imported = import_sgpn_state_dict(sd, variables)
+            state = state.replace(
+                params=imported["params"],
+                batch_stats=imported.get("batch_stats", state.batch_stats),
+            )
+            print(f"imported reference torch checkpoint {args.torch_checkpoint}")
+            restored = True
+        elif args.checkpoint_dir:
             from or4d_tpu.train import checkpoint as ckpt
 
             step = ckpt.latest_step(args.checkpoint_dir)

@@ -1,0 +1,48 @@
+#!/bin/bash
+# On-chip measurement sequence (run when the TPU backend is healthy).
+# Usage: scripts/measure.sh [round-tag]   (default: r4)
+#
+# One process at a time — each step owns the chip (CLAUDE.md: single-process
+# timings only). Logs to /tmp/measure_${ROUND}.log. On completion writes a
+# stamp (/tmp/measure_${ROUND}.done) and copies the default-config bench JSON
+# line to /root/repo/BENCH_LATEST.json so a mid-outage round can still hand
+# the driver a fresh number the moment the tunnel blinks on.
+set -u
+ROUND="${1:-r4}"
+cd /root/repo
+LOG=/tmp/measure_${ROUND}.log
+STAMP=/tmp/measure_${ROUND}.done
+: > "$LOG"
+run() {
+  echo "=== $(date +%H:%M:%S) $* ===" | tee -a "$LOG"
+  timeout 3000 "$@" >> "$LOG" 2>&1
+  echo "--- rc=$? ---" | tee -a "$LOG"
+}
+
+# 1. paired-vs-plain parity at bench shapes (correctness gate for the new
+#    bench default) + unpaired-kernel perf guardrail
+run python scripts/check_paired_parity_tpu.py --scenes 8
+run python scripts/perf_guardrail.py
+# 2. headline bench FIRST so BENCH_LATEST.json exists even if later steps
+#    hit a fresh outage
+echo "=== $(date +%H:%M:%S) python bench.py --scenes 16 (headline) ===" | tee -a "$LOG"
+timeout 3000 python bench.py --scenes 16 2>> "$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_headline.json
+if python -c "import json,sys; json.load(open('/tmp/bench_headline.json'))" 2>/dev/null; then
+  cp /tmp/bench_headline.json /root/repo/BENCH_LATEST.json
+  echo "BENCH_LATEST.json written" | tee -a "$LOG"
+fi
+# 3. bench sweep for the amortization curve
+run python bench.py --scenes 8
+run python bench.py --scenes 32
+run python bench.py --scenes 64
+# 4. train-path numbers (A/B packed_chain at S=8 and S=16)
+run python bench.py --train --scenes 8
+run python bench.py --train --scenes 8 --packed-chain
+run python bench.py --train --scenes 16
+run python bench.py --train --scenes 16 --packed-chain
+# 5. A/B: SA2 pair sharing (exact, opt-in; last so a compile failure cannot
+#    cost the main numbers)
+run python bench.py --scenes 16 --paired-sa2
+
+date > "$STAMP"
+echo "=== DONE $(date +%H:%M:%S) ===" | tee -a "$LOG"

@@ -12,6 +12,8 @@ reference-layout state_dict drives BOTH
 and asserts end-to-end logit parity on one batch.
 """
 
+from pathlib import Path
+
 import jax
 import numpy as np
 import pytest
@@ -177,6 +179,68 @@ def torch_head(sd, prefix, x, onehot=None):
         x = torch.cat([x, torch.from_numpy(onehot).double()], dim=1)
     x = x @ _t(sd, f"{prefix}.fc3.weight").T + _t(sd, f"{prefix}.fc3.bias")
     return F.log_softmax(x, dim=-1)
+
+
+class TestTorchCheckpointThroughCLI:
+    """The reference's paper-weight route (main.py:74-79): a reference-layout
+    .pth driven through `cli.py infer --torch-checkpoint` must reproduce the
+    predictions of the flax-native import path exactly."""
+
+    def test_cli_infer_with_pth_matches_native_import(self, tmp_path, capsys):
+        import json
+        import shutil
+
+        from or4d_tpu import cli
+        from or4d_tpu.config import load_config
+        from or4d_tpu.data.dataset import ORDataset
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.train.loop import Trainer
+
+        root = tmp_path / "real_data"
+        shutil.copytree(Path(__file__).parent / "golden" / "real_data", root)
+        sd = build_state_dict(np.random.default_rng(3))
+        pth = tmp_path / "paper_model_no_gt_no_images.pth"
+        # a real paper .pth holds torch tensors (cli.py loads weights_only=True)
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, pth)
+
+        cfg_dict = {
+            "MAX_EPOCHES": 1, "LR": 1e-3, "USE_GT": True,
+            "MODEL": {"sa_npoints": list(SA_NPOINTS),
+                      "sa_nsamples": [[ns for _r, ns in sc] for sc in SA_SCALES]},
+            "dataset": {"num_points_objects": 96, "num_points_relation": 128,
+                        "data_augmentation": False},
+            "TPU": {"max_objects": 10, "max_edges": 90, "scene_batch": 2,
+                    "donate_state": False},
+        }
+        cfg_path = tmp_path / "tiny_pth.json"
+        cfg_path.write_text(json.dumps(cfg_dict))
+        out_json = tmp_path / "scan_relations.json"
+        cache = tmp_path / "cache"
+
+        assert cli.main([
+            "infer", "--config", str(cfg_path), "--data-root", str(root),
+            "--split", "train", "--cache-dir", str(cache),
+            "--torch-checkpoint", str(pth), "--output", str(out_json),
+        ]) == 0
+        assert "imported reference torch checkpoint" in capsys.readouterr().out
+        cli_rels = json.loads(out_json.read_text())
+        assert cli_rels
+
+        # native path: same .pth through import_sgpn_state_dict directly
+        cfg = load_config(str(cfg_path))
+        train_ds = ORDataset(cfg, "train", DEFAULT_VOCAB, data_root=root, cache_dir=cache)
+        w_obj, w_rel = train_ds.weights()
+        trainer = Trainer(cfg, DEFAULT_VOCAB, w_obj, w_rel)
+        state = trainer.init_state(jax.random.key(42), next(train_ds.batches(2)))
+        imported = import_sgpn_state_dict(
+            sd, {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)})
+        state = state.replace(params=imported["params"],
+                              batch_stats=imported["batch_stats"])
+        eval_ds = ORDataset(cfg, "train", DEFAULT_VOCAB, data_root=root,
+                            cache_dir=cache, for_eval=True)
+        native = trainer.predict_relations(state, eval_ds.batches(2))
+        assert {k: [list(t) for t in v] for k, v in native.items()} == cli_rels
 
 
 class TestFullModelActivationParity:
