@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
         "mode",
         choices=[
             "train", "evaluate", "infer", "roles", "graphormer-roles",
-            "phases", "instance-labels", "visualize", "perception",
+            "phases", "phases-eval", "instance-labels", "visualize", "perception",
         ],
     )
     p.add_argument(
@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default=None)
     p.add_argument("--from-gt", action="store_true", help="L2: GT objects (registered scans) + annotation-json humans")
     # instance-labels stage
+    # phases-eval stage
+    p.add_argument("--gt-dir", default=None, help="phases-eval: GT phase_to_frames_{take}.json dir")
+    p.add_argument("--pred-dir", default=None, help="phases-eval: predicted *_phase_to_frames_{take}.json dir")
+    p.add_argument("--pred-stem", default=None, help="phases-eval: prediction filename stem (default: any match)")
     p.add_argument("--boxes-dir", default=None, help="group_free_predictions npz dir")
     p.add_argument("--poses-dir", default=None, help="voxelpose pred_{take}_{frame}.npy dir")
     p.add_argument("--pcd-dir", default=None, help="fused point cloud dir ({take}_{scan}.pcd)")
@@ -302,6 +306,29 @@ def run_phases(args) -> int:
     return 0
 
 
+def run_phases_eval(args) -> int:
+    """Phase-recognition evaluation: per-take and per-split classification
+    reports of predicted vs GT phase ranges (the reference's
+    evaluate_surgery_phase_recognition.py:11-49 printout)."""
+    from or4d_tpu.config import TAKE_SPLIT
+    from or4d_tpu.pipeline.phases import evaluate_phase_dirs
+
+    gt_dir = args.gt_dir or "phases_to_frames"
+    pred_dir = args.pred_dir or args.output_dir or "phases_to_frames"
+    reports = evaluate_phase_dirs(gt_dir, pred_dir, pred_stem=args.pred_stem)
+    if not reports:
+        print(f"no (GT, prediction) phase-json pairs found under {gt_dir} / {pred_dir}")
+        return 1
+    for split in ("train", "val", "test"):
+        for take_idx in TAKE_SPLIT[split]:
+            key = f"take_{take_idx}"
+            if key in reports:
+                print(f"\nTake {take_idx}\n\n{reports[key].to_text()}")
+        if split in reports:
+            print(f"\n{split}\n\n{reports[split].to_text()}")
+    return 0
+
+
 def run_perception(args) -> int:
     """L1 training/inference drivers, one per external_src pipeline:
     pose2d (HigherHRNet tools/dist_train equivalent), pose2d-infer (the
@@ -455,6 +482,8 @@ def main(argv: list[str] | None = None) -> int:
         return run_graphormer_roles(args)
     if args.mode == "phases":
         return run_phases(args)
+    if args.mode == "phases-eval":
+        return run_phases_eval(args)
     if args.mode == "instance-labels":
         return run_instance_labels(args)
     if args.mode == "visualize":

@@ -81,11 +81,11 @@ def _augment_crop(key, points, cfg, subset_mask=None):
     return jnp.concatenate([out_xyz, out_rgb, points[:, 6:]], axis=1)
 
 
-def _augment_rel_crop(key, points, hand_points, gt_rel):
+def _augment_rel_crop(key, points, hand_points, is_contact):
     """One relation crop (P, 7) with the hand-proximity zeroing + two-pass
-    augmentation (augmentation_utils.py:44-62)."""
+    augmentation (augmentation_utils.py:44-62). ``is_contact``: scalar bool —
+    does this edge carry a contact relation."""
     kt, ka, k1, k2 = jax.random.split(key, 4)
-    is_contact = jnp.isin(gt_rel, jnp.asarray(_CONTACT_IDS))
     thres = jax.random.uniform(kt, (), minval=HAND_THRESHOLD, maxval=1.0)
     d = jnp.linalg.norm(points[:, None, :3] - hand_points[None, :, :], axis=-1).min(axis=1)
     zero_mask = is_contact & (d > thres)
@@ -111,7 +111,13 @@ def augment_batch(key: jax.Array, batch):
     obj_keys = jax.random.split(k_obj, (S, O))
     new_obj = jax.vmap(jax.vmap(partial(_augment_crop, cfg=OBJ_CFG)))(obj_keys, batch.obj_points)
     rel_keys = jax.random.split(k_rel, (S, E))
-    new_rel = jax.vmap(jax.vmap(_augment_rel_crop))(rel_keys, batch.rel_points, batch.rel_hand_points, batch.gt_rels)
+    # contact-ness per edge works for both GT layouts: (S, E) int labels and
+    # (S, E, R) multi-hot (MULTI_REL_OUTPUTS)
+    if batch.gt_rels.ndim == 3:
+        contact = batch.gt_rels[..., jnp.asarray(_CONTACT_IDS)].max(-1) > 0.5
+    else:
+        contact = jnp.isin(batch.gt_rels, jnp.asarray(_CONTACT_IDS))
+    new_rel = jax.vmap(jax.vmap(_augment_rel_crop))(rel_keys, batch.rel_points, batch.rel_hand_points, contact)
 
     sel = apply_mask[:, None, None, None]
     return dataclasses.replace(

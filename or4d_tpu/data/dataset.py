@@ -119,6 +119,7 @@ class ORDataset:
         suffix = (
             self.ds.dataset_suffix + ("" if cfg.use_gt else "_no_gt")
             + ("_eval" if for_eval else "") + ("_paired" if self.pair_shared else "")
+            + ("_multirel" if cfg.model.multi_rel_outputs else "")
         )
         # an explicit cache_dir is a BASE dir: the config-dependent suffix
         # still applies so gt/no-gt/eval variants never collide
@@ -268,7 +269,7 @@ class ORDataset:
         sample = prepare_scene(
             points, instances, objs, rels, self.vocab, self.ds, rng,
             hand_locations=hands, scan_id=scan_id, take_idx=scan["take_idx"],
-            pair_shared=self.pair_shared,
+            pair_shared=self.pair_shared, multi_rel=self.cfg.model.multi_rel_outputs,
         )
         np.savez_compressed(
             cache_path,

@@ -26,6 +26,7 @@ class SceneSample:
       rel_onehot   (E, 12)     subject/object coarse-type one-hots, late-fused
       gt_class     (O,)        object class ids; 0 on padding (masked in loss)
       gt_rels      (E,)        relation ids; none_index on padding
+                   (E, R)      multi-hot float32 when MULTI_REL_OUTPUTS
       obj_mask     (O,)        bool
       edge_mask    (E,)        bool
       rel_hand_points (E, 2, 3) wrist locations in the rel crop frame

@@ -92,6 +92,7 @@ def make_scene_sample(
     take_idx: int = 1,
     scan_idx: int = 0,
     pair_shared: bool = False,
+    multi_rel: bool = False,
 ) -> SceneSample:
     ds = ds or DatasetConfig()
     vocab = vocab or DEFAULT_VOCAB
@@ -100,7 +101,7 @@ def make_scene_sample(
     return prepare_scene(
         points, instances, objs, rels, vocab, ds, rng,
         hand_locations=hands, scan_id=f"{take_idx}_{scan_idx:06d}", take_idx=take_idx,
-        pair_shared=pair_shared,
+        pair_shared=pair_shared, multi_rel=multi_rel,
     )
 
 

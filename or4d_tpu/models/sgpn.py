@@ -68,6 +68,11 @@ class SGPN(nn.Module):
     # lane-pack C<128 grouped planes through the train-path BN/MLP chain
     # (exact; opt-in until measured — see SetAbstractionMSG.packed_chain)
     packed_chain: bool = False
+    # MULTI_REL_OUTPUTS (reference network_PointNet.py:274-318
+    # PointNetRelClsMulti): sigmoid multi-label relation head — rel_logprobs
+    # then carries per-relation probabilities, trained with weighted BCE
+    # against (S, E, R) multi-hot gt_rels (data/prep.py multi_rel)
+    multi_rel_outputs: bool = False
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig, num_classes: int, num_relations: int) -> "SGPN":
@@ -85,6 +90,7 @@ class SGPN(nn.Module):
             sa_npoints=tuple(cfg.model.sa_npoints),
             sa_nsamples=tuple(tuple(s) for s in cfg.model.sa_nsamples),
             packed_chain=cfg.tpu.packed_chain,
+            multi_rel_outputs=cfg.model.multi_rel_outputs,
         )
 
     @nn.compact
@@ -204,7 +210,9 @@ class SGPN(nn.Module):
                 embedding_size=self.image_embedding_size, name="image_branch"
             )(batch.images, train=train)  # (S, image_embedding_size)
 
-        rel_logprobs = RelationClsHead(self.num_relations, name="rel_predictor")(
+        rel_logprobs = RelationClsHead(
+            self.num_relations, multi_label=self.multi_rel_outputs, name="rel_predictor"
+        )(
             gcn_rel,
             relation_objects_one_hot=batch.rel_onehot,
             image_embeddings=image_embeddings,
@@ -229,9 +237,27 @@ def weighted_nll(logprobs: jax.Array, targets: jax.Array, class_weights: jax.Arr
     return -jnp.sum(picked * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
+def weighted_bce(probs: jax.Array, targets: jax.Array, class_weights: jax.Array, mask: jax.Array) -> jax.Array:
+    """MULTI_REL_OUTPUTS loss: torch ``F.binary_cross_entropy(weight=w)``
+    semantics over (S, E, R) sigmoid probabilities and multi-hot targets —
+    per-element w[c] * BCE, averaged over valid-edge elements. The reference
+    ships the Multi head without wiring a loss (PointNetRelClsMulti is never
+    instantiated); this is the 3DSSG-lineage weighted BCE it was built for."""
+    p = jnp.clip(probs.astype(jnp.float32), 1e-7, 1.0 - 1e-7)
+    y = targets.astype(jnp.float32)
+    bce = -(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p)) * class_weights
+    m = mask.astype(jnp.float32)[..., None]
+    return jnp.sum(bce * m) / jnp.maximum(jnp.sum(m) * probs.shape[-1], 1e-12)
+
+
 def sgpn_loss(outputs: SGPNOutputs, batch, weights_obj: jax.Array, weights_rel: jax.Array, lambda_o: float = 1e-6):
-    """loss = lambda_o * obj_nll + rel_nll (reference :139-141)."""
+    """loss = lambda_o * obj_nll + rel_nll (reference :139-141); the relation
+    term becomes weighted BCE when gt_rels is a multi-hot (MULTI_REL_OUTPUTS,
+    in which case rel_logprobs holds sigmoid probabilities)."""
     loss_obj = weighted_nll(outputs.obj_logprobs, batch.gt_class, weights_obj, batch.obj_mask)
-    loss_rel = weighted_nll(outputs.rel_logprobs, batch.gt_rels, weights_rel, batch.edge_mask)
+    if batch.gt_rels.ndim == outputs.rel_logprobs.ndim:  # (S, E, R) multi-hot
+        loss_rel = weighted_bce(outputs.rel_logprobs, batch.gt_rels, weights_rel, batch.edge_mask)
+    else:
+        loss_rel = weighted_nll(outputs.rel_logprobs, batch.gt_rels, weights_rel, batch.edge_mask)
     loss = lambda_o * loss_obj + loss_rel
     return loss, {"loss_obj": loss_obj, "loss_rel": loss_rel, "loss": loss}

@@ -175,3 +175,48 @@ def evaluate_phases(gt: dict[str, tuple[int, int]], pred: dict[str, tuple[int, i
     gts = expand_to_per_frame(gt, take_length)
     preds = expand_to_per_frame(pred, take_length)
     return report(gts, preds, PHASE_LONG_NAMES)
+
+
+def evaluate_phase_dirs(gt_dir: str | Path, pred_dir: str | Path,
+                        pred_stem: str | None = None) -> dict[str, object]:
+    """The reference evaluator loop (evaluate_surgery_phase_recognition.py:11-49):
+    per split, per take, load GT ``phase_to_frames_{take}.json`` and the
+    prediction ``{stem}_phase_to_frames_{take}.json``, expand both to
+    per-frame labels (GT take length), and build per-take + per-split
+    classification reports. Returns {f"take_{t}" | split: ClassReport};
+    takes with no GT or no prediction file are skipped."""
+    from or4d_tpu.config import TAKE_SPLIT
+    from or4d_tpu.train.metrics import classification_report as report
+
+    gt_dir, pred_dir = Path(gt_dir), Path(pred_dir)
+    reports: dict[str, object] = {}
+    for split in ("train", "val", "test"):
+        split_gts: list[np.ndarray] = []
+        split_preds: list[np.ndarray] = []
+        for take_idx in TAKE_SPLIT[split]:
+            gt_path = gt_dir / f"phase_to_frames_{take_idx}.json"
+            if not gt_path.exists():
+                continue
+            if pred_stem is not None:
+                candidates = [pred_dir / f"{pred_stem}_phase_to_frames_{take_idx}.json"]
+                candidates = [p for p in candidates if p.exists()]
+            else:
+                candidates = sorted(
+                    p for p in pred_dir.glob(f"*phase_to_frames_{take_idx}.json")
+                    if p.name != gt_path.name
+                )
+            if not candidates:
+                continue
+            gt = json.loads(gt_path.read_text())
+            pred = json.loads(candidates[0].read_text())
+            take_length = int(max(end for _, end in gt.values())) + 1
+            gts = expand_to_per_frame(gt, take_length)
+            preds = expand_to_per_frame(pred, take_length) if pred else np.full(take_length, -1, np.int64)
+            reports[f"take_{take_idx}"] = report(gts, preds, PHASE_LONG_NAMES)
+            split_gts.append(gts)
+            split_preds.append(preds)
+        if split_gts:
+            reports[split] = report(
+                np.concatenate(split_gts), np.concatenate(split_preds), PHASE_LONG_NAMES
+            )
+    return reports

@@ -100,10 +100,17 @@ class RelationMetricAccumulator:
         self.take_gts[take_idx].extend(gts.tolist())
 
     def update_batch(self, batch, rel_logprobs: np.ndarray):
-        """Accumulate a whole SceneBatch given rel head output (S, E, R)."""
+        """Accumulate a whole SceneBatch given rel head output (S, E, R).
+        Multi-hot gt_rels (MULTI_REL_OUTPUTS) is reduced to single labels for
+        the report: argmax where any relation is set, 'none' otherwise."""
         preds = np.asarray(rel_logprobs).argmax(-1)
+        gt = np.asarray(batch.gt_rels)
+        if gt.ndim == 3:  # (S, E, R) multi-hot
+            none_idx = (self.relation_names.index("none")
+                        if "none" in self.relation_names else len(self.relation_names) - 1)
+            gt = np.where(gt.max(-1) > 0.5, gt.argmax(-1), none_idx)
         for s, take_idx in enumerate(batch.take_idxs):
-            self.update(take_idx, preds[s], np.asarray(batch.gt_rels[s]), np.asarray(batch.edge_mask[s]))
+            self.update(take_idx, preds[s], gt[s], np.asarray(batch.edge_mask[s]))
 
     def per_take_reports(self) -> dict[int, ClassReport]:
         return {

@@ -136,3 +136,47 @@ class TestPhaseFSM:
         assert len(labels) == 20 and labels[0] == 0 and labels[15] == 1
         report = evaluate_phases(gt, pred)
         assert 0 < report.macro_f1 < 1
+
+    def test_phases_eval_cli(self, tmp_path, capsys):
+        """phases-eval mode: the reference evaluator loop
+        (evaluate_surgery_phase_recognition.py:11-49) — GT + predicted phase
+        jsons in, per-take and per-split reports out; numbers match sklearn."""
+        import json
+
+        from or4d_tpu import cli
+
+        gt_dir = tmp_path / "gt"
+        pred_dir = tmp_path / "pred"
+        gt_dir.mkdir()
+        pred_dir.mkdir()
+        gt7 = {"sterile": (0, 9), "roll_in": (10, 19), "patient_prep": (20, 29)}
+        pred7 = {"sterile": (0, 14), "roll_in": (15, 19), "patient_prep": (20, 29)}
+        gt4 = {"sterile": (0, 5), "roll_in": (6, 11)}
+        pred4 = {"sterile": (0, 11)}
+        (gt_dir / "phase_to_frames_7.json").write_text(json.dumps(gt7))
+        (gt_dir / "phase_to_frames_4.json").write_text(json.dumps(gt4))
+        stem = "scan_relations_no_gt_test"
+        (pred_dir / f"{stem}_phase_to_frames_7.json").write_text(json.dumps(pred7))
+        (pred_dir / f"{stem}_phase_to_frames_4.json").write_text(json.dumps(pred4))
+
+        assert cli.main([
+            "phases-eval", "--gt-dir", str(gt_dir), "--pred-dir", str(pred_dir),
+            "--pred-stem", stem,
+        ]) == 0
+        out = capsys.readouterr().out
+        assert "Take 7" in out and "Take 4" in out
+        assert "\ntrain\n" in out and "\nval\n" in out
+        assert "Patient Roll-In" in out  # PHASE_LONG_NAMES rows
+
+        from sklearn.metrics import f1_score
+
+        from or4d_tpu.pipeline.phases import evaluate_phase_dirs, expand_to_per_frame as expand
+
+        reports = evaluate_phase_dirs(gt_dir, pred_dir, pred_stem=stem)
+        want = f1_score(expand(gt4, 12), expand(pred4, 12),
+                        labels=list(range(8)), average="macro", zero_division=0)
+        assert abs(reports["val"].macro_f1 - want) < 1e-9
+        # missing prediction file -> take skipped, not crashed
+        (gt_dir / "phase_to_frames_2.json").write_text(json.dumps(gt4))
+        reports = evaluate_phase_dirs(gt_dir, pred_dir, pred_stem=stem)
+        assert "take_2" not in reports and "test" not in reports

@@ -106,3 +106,64 @@ class TestTrainLoop:
         b = jax.tree_util.tree_leaves(restored.params)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestMultiRelOutputs:
+    """MULTI_REL_OUTPUTS wired end-to-end: multi-hot GT from prep, sigmoid
+    relation head, weighted BCE (reference PointNetRelClsMulti
+    network_PointNet.py:274-318 + data_preparation_utils.py:141-190)."""
+
+    def test_train_step_with_bce_loss_decreases(self):
+        import dataclasses
+
+        from or4d_tpu.config import ModelConfig
+
+        cfg = ExperimentConfig(
+            dataset=TINY, lr=1e-3,
+            model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8)),
+                              multi_rel_outputs=True),
+            tpu=TPUConfig(scene_batch=2, donate_state=False, mesh_data=1, mesh_model=1),
+        )
+        batch = make_scene_batch(2, seed=8, n_objects=4, ds=TINY,
+                                 points_per_obj=150, multi_rel=True)
+        gt = np.asarray(batch.gt_rels)
+        assert gt.ndim == 3 and gt.shape[-1] == DEFAULT_VOCAB.num_relations
+        assert set(np.unique(gt)) <= {0.0, 1.0} and gt.sum() > 0
+        # multi-hot has NO default 'none' bit (reference :158: zeros default)
+        assert gt[..., DEFAULT_VOCAB.none_index].sum() == 0
+
+        trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        assert trainer.model.multi_rel_outputs  # from_config wiring
+        state = trainer.init_state(jax.random.key(0), batch)
+        rng = jax.random.key(1)
+        losses = []
+        for _ in range(8):
+            rng, key = jax.random.split(rng)
+            state, parts, rel_out = trainer.train_step(state, batch, key)
+            losses.append(float(parts["loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-2:]) < np.mean(losses[:2]), losses
+        # head emits sigmoid probabilities, not log-softmax
+        out = np.asarray(rel_out)
+        assert (out >= 0).all() and (out <= 1).all()
+        # metrics reduce the multi-hot to labels without crashing
+        acc = RelationMetricAccumulator(list(DEFAULT_VOCAB.relation_names))
+        acc.update_batch(batch, out)
+        assert 0.0 <= acc.macro_f1 <= 1.0
+
+    def test_bce_matches_torch(self):
+        import torch
+
+        from or4d_tpu.models.sgpn import weighted_bce
+
+        rng = np.random.default_rng(0)
+        probs = rng.uniform(0.02, 0.98, (2, 6, 5)).astype(np.float32)
+        gt = (rng.uniform(size=(2, 6, 5)) < 0.3).astype(np.float32)
+        w = rng.uniform(0.5, 2.0, 5).astype(np.float32)
+        mask = np.ones((2, 6), np.float32)
+        got = float(weighted_bce(jax.numpy.asarray(probs), jax.numpy.asarray(gt),
+                                 jax.numpy.asarray(w), jax.numpy.asarray(mask)))
+        want = float(torch.nn.functional.binary_cross_entropy(
+            torch.from_numpy(probs), torch.from_numpy(gt),
+            weight=torch.from_numpy(w)))
+        assert abs(got - want) < 1e-6
