@@ -39,6 +39,12 @@ def main() -> None:
         "--packed-chain", action="store_true",
         help="lane-pack C=64 grouped planes through the train BN/MLP chain (exact; A/B knob)",
     )
+    ap.add_argument(
+        "--serving", action="store_true",
+        help="serving mode: precomputed SA1 geometry for a fixed eval set "
+             "(or4d_tpu/serving.py) — reported as a SEPARATE metric "
+             "(sg_serving_scenes_per_sec), not the cold-path headline",
+    )
     args = ap.parse_args()
     import jax
 
@@ -60,7 +66,7 @@ def main() -> None:
     # the eval path encodes each unordered pair once (paired SlotPack below)
     batch = make_scene_batch(
         num_scenes=S, seed=0, n_objects=9, ds=ds, points_per_obj=2000,
-        pair_shared=not args.train,
+        pair_shared=not args.train and not args.serving,
     )
 
     model = SGPN(
@@ -75,10 +81,10 @@ def main() -> None:
 
     # skip padded slots through the encoders; at eval also encode each
     # unordered relation pair once (pair plan)
-    pack = SlotPack.build(batch, paired=not args.train)
+    pack = SlotPack.build(batch, paired=not args.train and not args.serving)
     # host-built fallback pack (cheap): used only if the paired path fails
     # to compile/run on this backend — never re-pull the device batch
-    pack_plain = SlotPack.build(batch) if not args.train else None
+    pack_plain = SlotPack.build(batch) if not (args.train or args.serving) else None
     # device-resident inputs: the batch is built as numpy, and feeding numpy
     # to jit re-uploads ~300MB per call through this environment's slow
     # host tunnel — that's transfer, not model time
@@ -107,6 +113,20 @@ def main() -> None:
         step()  # compile + warm
         metric = "sg_train_scenes_per_sec"
         run = step
+    elif args.serving:
+        # serving: one-time SA1 geometry precompute (excluded from timing,
+        # like device_put — it happens once per fixed eval set and is reused
+        # across every checkpoint/epoch), then the fast path only
+        from or4d_tpu.serving import build_sgpn_sa1_caches
+
+        caches = jax.jit(lambda b, p: build_sgpn_sa1_caches(model, b, p))(batch, pack)
+        fwd = jax.jit(
+            lambda v, b, p, c: model.apply(v, b, train=False, pack=p, sa1_caches=c).rel_logprobs.sum()
+        )
+        run = lambda: float(fwd(variables, batch, pack, caches))
+        run()  # compile + warm
+        paired = False
+        metric = "sg_serving_scenes_per_sec"
     else:
         fwd = jax.jit(lambda v, b, p: model.apply(v, b, train=False, pack=p).rel_logprobs.sum())
         run = lambda: float(fwd(variables, batch, pack))
@@ -143,6 +163,8 @@ def main() -> None:
     # number (a silent fallback must be visible in the parsed JSON)
     if args.train:
         path = "train+packed_chain" if args.packed_chain else "train"
+    elif args.serving:
+        path = "serving+sa1_cache"
     else:
         path = "eval"
         path += "+paired" if paired else "+UNPAIRED_FALLBACK"
@@ -157,7 +179,7 @@ def main() -> None:
         "batch_ms": round(dt * 1e3, 1),
         "path": path,
     }
-    if not args.train:
+    if not args.train and not args.serving:
         record["paired"] = paired
     print(json.dumps(record))
 

@@ -136,6 +136,20 @@ class DelayedSharedMLP(nn.Module):
         a1 = self.bn_layers[1](z2 + 1.0, train=False)[0] - b1
         return a0, b0, W1, a1, b1
 
+    def from_grouped(self, grouped, new_xyz, mask=None, train: bool = True):
+        """Serving path (or4d_tpu/serving.py): the same delayed-aggregation
+        arithmetic on CACHED grouped ``[p_abs | f]`` planes —
+        dense0(grouped) - dense0(pad(q)), i.e. the gather already happened at
+        cache-build time and only weights-dependent matmuls run here."""
+        A_g = self.dense_layers[0](grouped.astype(self.dtype))  # (B, M, ns, C1)
+        pad_q = jnp.concatenate(
+            [new_xyz.astype(self.dtype),
+             jnp.zeros(new_xyz.shape[:-1] + (grouped.shape[-1] - 3,), self.dtype)],
+            axis=-1,
+        )
+        Bq = self.dense_layers[0](pad_q)  # (B, M, C1)
+        return self.post(A_g, Bq, mask=mask, train=train)
+
     def __call__(self, xyz, features, new_xyz, qidx=None, mask=None, train: bool = True):
         A, Bq = self.pre(xyz, features, new_xyz)
         gathered = jnp.take_along_axis(A[:, :, None, :], qidx[..., None], axis=1)  # (B, M, S, C1)
@@ -168,7 +182,7 @@ class SetAbstractionMSG(nn.Module):
     packed_chain: bool = False
 
     @nn.compact
-    def __call__(self, xyz, features, mask=None, train: bool = True, features_alt=None):
+    def __call__(self, xyz, features, mask=None, train: bool = True, features_alt=None, cache=None):
         from or4d_tpu.ops.pallas_ball_query import (
             _CHUNK,
             _counts_to_bounds,
@@ -177,6 +191,20 @@ class SetAbstractionMSG(nn.Module):
             ball_query_group_pallas,
             ball_query_multiscale,
         )
+
+        if cache is not None:
+            # serving: FPS/ball query precomputed (or4d_tpu/serving.py) —
+            # only the weights-dependent MLP chain runs, as plain XLA matmuls
+            mlps_c = [
+                DelayedSharedMLP(sc.mlp, radius=sc.radius, nsample=sc.nsample,
+                                 dtype=self.dtype, name=f"mlp_{si}")
+                for si, sc in enumerate(self.scales)
+            ]
+            outs = [
+                jnp.max(m.from_grouped(g, cache.new_xyz, mask=mask, train=train), axis=2)
+                for m, g in zip(mlps_c, cache.grouped)
+            ]
+            return cache.new_xyz, jnp.concatenate(outs, axis=-1)
 
         if self.fused_mode == "auto":
             fused = jax.default_backend() == "tpu"
@@ -404,8 +432,13 @@ class PointNet2MSGEncoder(nn.Module):
     packed_chain: bool = False
 
     @nn.compact
-    def __call__(self, pc, mask=None, train: bool = True, paired: bool = False):
-        """``paired=True``: ``pc`` is (B, P, 8) — [xyz, rgb, mask_fwd,
+    def __call__(self, pc, mask=None, train: bool = True, paired: bool = False, sa1_cache=None):
+        """``sa1_cache``: serving-mode SA1 geometry (or4d_tpu/serving.py) —
+        SA1 consumes the cached centroids/grouped planes instead of running
+        FPS/ball query on ``pc`` (which may then be None); SA2/SA3 run
+        normally on the 512 centroids.
+
+        ``paired=True``: ``pc`` is (B, P, 8) — [xyz, rgb, mask_fwd,
         mask_rev] pair-shared relation crops (one row per unordered pair).
         Returns (2B, out_size) with rows interleaved [pair0-fwd, pair0-rev,
         pair1-fwd, ...]. SA1 runs ONCE per pair through the paired fused
@@ -437,6 +470,14 @@ class PointNet2MSGEncoder(nn.Module):
         sa3 = SetAbstractionAll(mlp=(256, self.out_size), dtype=self.dtype, name="sa3")
 
         from or4d_tpu.ops.pallas_ball_query import _CHUNK
+
+        if sa1_cache is not None:
+            if paired:
+                raise ValueError("serving SA1 caches are unpaired (SA1 is skipped entirely)")
+            xyz, features = sa1(None, None, mask=mask, train=train, cache=sa1_cache)
+            xyz, features = sa2(xyz, features, mask=mask, train=train)
+            _, features = sa3(xyz, features, mask=mask, train=train)
+            return features
 
         if paired:
             if self.fused_mode == "auto":

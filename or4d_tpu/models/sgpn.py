@@ -94,14 +94,16 @@ class SGPN(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, batch, train: bool = True, pack=None) -> SGPNOutputs:
+    def __call__(self, batch, train: bool = True, pack=None, sa1_caches=None) -> SGPNOutputs:
+        """``sa1_caches``: (obj_cache, rel_cache) serving-mode SA1 geometry
+        (or4d_tpu/serving.py, built by build_sgpn_sa1_caches for THIS batch's
+        pack layout) — the encoders skip FPS/ball query and the raw crops are
+        never touched; eval only, unpaired flat packs only."""
         S, O, Po, Co = batch.obj_points.shape
         _, E, Pr, Cr = batch.rel_points.shape
 
         # geometry stays f32 (FPS/ball-query exactness); the encoders cast
         # features to compute_dtype at each MLP entry
-        obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(jnp.float32)
-        rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(jnp.float32)
         obj_rows_mask = batch.obj_mask.reshape(S * O).astype(jnp.float32)
         edge_rows_mask = batch.edge_mask.reshape(S * E).astype(jnp.float32)
         sharded_pack = pack is not None and pack.obj_idx.ndim == 2
@@ -109,7 +111,21 @@ class SGPN(nn.Module):
         # let the rel encoder run once per unordered pair (shared geometry),
         # emitting both directions' features (models/pointnet2.py)
         paired = (not train) and pack is not None and getattr(pack, "pair_idx", None) is not None
-        if sharded_pack:
+        if sa1_caches is not None:
+            # serving: the raw crops never touch the device path — masks come
+            # from the (flat, unpaired) pack the caches were built against
+            if train or paired or sharded_pack:
+                raise ValueError("sa1_caches: eval-only, flat unpaired packs")
+            obj_flat = rel_flat = None
+            if pack is not None:
+                obj_rows_mask = pack.obj_valid.astype(jnp.float32)
+                edge_rows_mask = pack.edge_valid.astype(jnp.float32)
+        else:
+            obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(jnp.float32)
+            rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(jnp.float32)
+        if sa1_caches is not None:
+            pass
+        elif sharded_pack:
             # per-dp-shard plans (SlotPack.build(shards=dp)): batched gathers
             # whose indices are local to each shard's scene block, so SPMD
             # keeps them on-chip
@@ -151,13 +167,14 @@ class SGPN(nn.Module):
 
         enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples,
                    dtype=self.compute_dtype, packed_chain=self.packed_chain)
+        obj_cache, rel_cache = sa1_caches if sa1_caches is not None else (None, None)
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
-            obj_flat, mask=obj_rows_mask, train=train
+            obj_flat, mask=obj_rows_mask, train=train, sa1_cache=obj_cache
         )
         rel_feat = PointNet2MSGEncoder(
             input_dim=Cr, out_size=self.edge_feature_size, name="rel_encoder",
             paired_sa2=self.paired_sa2, **enc,
-        )(rel_flat, mask=edge_rows_mask, train=train, paired=paired)
+        )(rel_flat, mask=edge_rows_mask, train=train, paired=paired, sa1_cache=rel_cache)
         if sharded_pack:
             D = pack.obj_idx.shape[0]
 

@@ -1,0 +1,137 @@
+"""Serving-mode evaluation: precomputed SA1 geometry cache.
+
+For a FIXED (non-augmented) evaluation set, the geometric skeleton of the
+point encoders is a deterministic pure function of each sample: FPS centroid
+selection and ball-query neighborhoods depend only on the crop xyz, never on
+the weights (reference semantics: pointnet2_utils.py:36-67 FPS,
+ball_query_gpu.cu:9-44). The SA1 stage over the raw 4000/8000-point crops is
+the dominant eval cost (PERF.md: ~410 of 460 ms per 16-scene batch), so its
+geometry is precomputed ONCE per sample:
+
+  * ``new_xyz`` — the 512 FPS centroids per crop row;
+  * per scale, the grouped layer-0 planes ``[p_abs | f]`` (absolute support
+    xyz + features for every (centroid, slot) hit, first-hit-fill padded) —
+    weights-INDEPENDENT, so the cache survives checkpoint changes.
+
+Serving eval then runs SA1 as pure streamed matmuls (delayed-aggregation
+arithmetic on the cached planes: dense0(grouped) - dense0(pad(q)), identical
+math to the XLA index path in models/pointnet2.py DelayedSharedMLP), and
+SA2/SA3 run their normal fused kernels (they operate on the 512 centroids —
+single-chunk supports, a small slice of the budget).
+
+The reference re-validates the full val split every epoch
+(scene_graph_prediction/main.py:62-66) and serves fixed takes offline — both
+are exactly this access pattern. The cache is reported as a SEPARATE,
+clearly-labeled serving metric (bench.py --serving); the cold-path benchmark
+still measures the full from-raw-points pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from or4d_tpu import ops
+from or4d_tpu.ops.pallas_ball_query import ball_query_multiscale
+
+
+@dataclasses.dataclass
+class SA1Cache:
+    """Per-row-set SA1 geometry: centroids + grouped layer-0 planes."""
+
+    new_xyz: Any  # (R, M, 3) f32
+    grouped: Any  # tuple per scale: (R, M, ns, 3 + F) — [p_abs | features]
+
+
+jax.tree_util.register_dataclass(SA1Cache, data_fields=["new_xyz", "grouped"], meta_fields=[])
+
+
+def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int], ...]) -> SA1Cache:
+    """One-time geometry precompute for a set of crops ``pc`` (R, P, C):
+    FPS -> centroids, ball query per scale -> grouped [p_abs | f] planes.
+
+    Uses the same FPS/ball-query formulations as the model (reference
+    selection order, first-hit-fill padding), so the cached neighborhoods
+    are the ones the cold path computes. Gathers here are the one-time cost
+    the serving path amortizes away.
+    """
+    xyz = pc[..., :3].astype(jnp.float32)
+    feats = pc[..., 3:]
+    idx = ops.furthest_point_sample(xyz, npoint)
+    new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # (R, M, 3)
+    scale_idx = ball_query_multiscale(scales, xyz, new_xyz)
+    grouped = []
+    for qidx in scale_idx:  # (R, M, ns)
+        g_xyz = jnp.take_along_axis(xyz[:, :, None, :], qidx[..., None], axis=1)
+        g_f = jnp.take_along_axis(feats[:, :, None, :], qidx[..., None], axis=1)
+        grouped.append(jnp.concatenate([g_xyz, g_f.astype(jnp.float32)], axis=-1))
+    return SA1Cache(new_xyz=new_xyz, grouped=tuple(grouped))
+
+
+def build_sgpn_sa1_caches(model, batch, pack=None) -> tuple[SA1Cache, SA1Cache]:
+    """(obj_cache, rel_cache) for an SGPN eval batch, matching the row layout
+    the model's encoders see (flattened slots, optionally SlotPack-compacted
+    — the same gathers models/sgpn.py applies). Jit-safe; run once per batch
+    of a fixed eval set."""
+    S, O, Po, Co = batch.obj_points.shape
+    _, E, Pr, Cr = batch.rel_points.shape
+    obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(jnp.float32)
+    rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(jnp.float32)
+    if pack is not None:
+        if getattr(pack, "pair_idx", None) is not None:
+            raise ValueError("serving caches are built for unpaired packs (SA1 is skipped entirely)")
+        if pack.obj_idx.ndim != 1:
+            raise ValueError("serving caches support flat (single-device) packs")
+        obj_flat = jnp.take(obj_flat, pack.obj_idx, axis=0)
+        rel_flat = jnp.take(rel_flat, pack.edge_idx, axis=0)
+    sa1_scales = tuple(
+        (r, ns) for r, ns in zip((0.1, 0.2), model.sa_nsamples[0])
+    )
+    npoint = model.sa_npoints[0]
+    return (
+        build_sa1_cache(obj_flat, npoint, sa1_scales),
+        build_sa1_cache(rel_flat, npoint, sa1_scales),
+    )
+
+
+class ServingEvaluator:
+    """Repeated evaluation over a fixed batch list (the reference's
+    validate-every-epoch loop): geometry caches are built once, then every
+    ``evaluate(state)`` call runs the serving fast path."""
+
+    def __init__(self, trainer, batches):
+        self.trainer = trainer
+        self.batches = []
+        for batch in batches:
+            from or4d_tpu.data.scene_batch import SlotPack
+
+            pack = SlotPack.build(batch)
+            batch = jax.device_put(batch)
+            pack = jax.device_put(pack)
+            caches = jax.jit(
+                lambda b, p: build_sgpn_sa1_caches(trainer.model, b, p)
+            )(batch, pack)
+            self.batches.append((batch, pack, caches))
+        self._eval = jax.jit(
+            lambda state, b, p, c: trainer.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                b, train=False, pack=p, sa1_caches=c,
+            ).rel_logprobs
+        )
+
+    def evaluate(self, state, verbose: bool = False) -> float:
+        import numpy as np
+
+        from or4d_tpu.train.metrics import RelationMetricAccumulator
+
+        acc = RelationMetricAccumulator(list(self.trainer.vocab.relation_names))
+        for batch, pack, caches in self.batches:
+            rel_logprobs = self._eval(state, batch, pack, caches)
+            acc.update_batch(batch, np.asarray(rel_logprobs))
+        if verbose:
+            for take, report in acc.per_take_reports().items():
+                print(f"\nTake {take}\n{report.to_text()}")
+        return acc.macro_f1

@@ -40,7 +40,11 @@ run python bench.py --train --scenes 8
 run python bench.py --train --scenes 8 --packed-chain
 run python bench.py --train --scenes 16
 run python bench.py --train --scenes 16 --packed-chain
-# 5. A/B: SA2 pair sharing (exact, opt-in; last so a compile failure cannot
+# 5. serving mode: precomputed SA1 geometry (separate, clearly-labeled
+#    metric — fixed-eval-set / validate-every-epoch access pattern)
+run python bench.py --serving --scenes 16
+run python bench.py --serving --scenes 32
+# 6. A/B: SA2 pair sharing (exact, opt-in; last so a compile failure cannot
 #    cost the main numbers)
 run python bench.py --scenes 16 --paired-sa2
 

@@ -1,0 +1,90 @@
+"""Serving-mode eval (precomputed SA1 geometry, or4d_tpu/serving.py):
+the fast path must reproduce the cold path's outputs — the cache only moves
+WHEN the weight-independent geometry work happens, never what is computed.
+"""
+
+import jax
+import numpy as np
+
+from or4d_tpu.config import DatasetConfig
+from or4d_tpu.data.scene_batch import SlotPack
+from or4d_tpu.data.synthetic import make_scene_batch
+from or4d_tpu.models import SGPN
+from or4d_tpu.serving import build_sgpn_sa1_caches
+
+TINY = DatasetConfig(num_points_objects=96, num_points_relation=128,
+                     max_objects=4, max_edges=12, data_augmentation=False)
+
+
+def _tiny_model():
+    return SGPN(num_classes=12, num_relations=15, sa_npoints=(32, 16),
+                sa_nsamples=((4, 8), (8, 8)))
+
+
+class TestServingParity:
+    def test_cached_sa1_matches_cold_path(self):
+        batch = make_scene_batch(2, seed=8, n_objects=4, ds=TINY, points_per_obj=150)
+        model = _tiny_model()
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False
+        )
+        pack = SlotPack.build(batch)
+        caches = build_sgpn_sa1_caches(model, batch, pack)
+        cold = model.apply(variables, batch, train=False, pack=pack)
+        fast = model.apply(variables, batch, train=False, pack=pack, sa1_caches=caches)
+        np.testing.assert_allclose(
+            np.asarray(fast.rel_logprobs), np.asarray(cold.rel_logprobs), rtol=0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.obj_logprobs), np.asarray(cold.obj_logprobs), rtol=0, atol=1e-5
+        )
+
+    def test_cached_sa1_matches_cold_path_no_pack(self):
+        batch = make_scene_batch(1, seed=8, n_objects=4, ds=TINY, points_per_obj=150)
+        model = _tiny_model()
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False
+        )
+        caches = build_sgpn_sa1_caches(model, batch)
+        cold = model.apply(variables, batch, train=False)
+        fast = model.apply(variables, batch, train=False, sa1_caches=caches)
+        np.testing.assert_allclose(
+            np.asarray(fast.rel_logprobs), np.asarray(cold.rel_logprobs), rtol=0, atol=1e-5
+        )
+
+    def test_serving_evaluator_matches_trainer_evaluate(self):
+        from or4d_tpu.config import ExperimentConfig, ModelConfig, TPUConfig
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.serving import ServingEvaluator
+        from or4d_tpu.train.loop import Trainer
+
+        cfg = ExperimentConfig(
+            dataset=TINY,
+            model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8))),
+            tpu=TPUConfig(scene_batch=2, donate_state=False, mesh_data=1, mesh_model=1),
+        )
+        trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        batches = [make_scene_batch(2, seed=8, n_objects=4, ds=TINY, points_per_obj=150)]
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        ev = ServingEvaluator(trainer, batches)
+        f1_fast = ev.evaluate(state)
+        f1_cold = trainer.evaluate(state, batches)
+        assert abs(f1_fast - f1_cold) < 1e-9
+
+    def test_serving_rejects_paired_and_train(self):
+        import pytest
+
+        batch = make_scene_batch(1, seed=8, n_objects=4, ds=TINY, points_per_obj=150,
+                                 pair_shared=True)
+        model = _tiny_model()
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False
+        )
+        pack = SlotPack.build(batch, paired=True)
+        with pytest.raises(ValueError, match="unpaired"):
+            build_sgpn_sa1_caches(model, batch, pack)
+        plain = SlotPack.build(batch)
+        caches = build_sgpn_sa1_caches(model, batch, plain)
+        with pytest.raises(ValueError, match="eval-only"):
+            model.apply(variables, batch, train=True, pack=plain, sa1_caches=caches,
+                        rngs={"dropout": jax.random.key(1)})
