@@ -40,6 +40,10 @@ def main() -> None:
         help="lane-pack C=64 grouped planes through the train BN/MLP chain (exact; A/B knob)",
     )
     ap.add_argument(
+        "--per-scale-sort", action="store_true",
+        help="solo-sorted per-scale eval kernels (exact; A/B knob)",
+    )
+    ap.add_argument(
         "--serving", action="store_true",
         help="serving mode: precomputed SA1 geometry for a fixed eval set "
              "(or4d_tpu/serving.py) — reported as a SEPARATE metric "
@@ -71,7 +75,7 @@ def main() -> None:
 
     model = SGPN(
         num_classes=12, num_relations=15, compute_dtype=jnp.bfloat16,
-        paired_sa2=args.paired_sa2,
+        paired_sa2=args.paired_sa2, per_scale_sort=args.per_scale_sort,
     )
     variables = jax.jit(
         lambda b: model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, b, train=False)
@@ -170,6 +174,8 @@ def main() -> None:
         path += "+paired" if paired else "+UNPAIRED_FALLBACK"
         if args.paired_sa2:
             path += "+paired_sa2"
+        if args.per_scale_sort:
+            path += "+per_scale_sort"
     record = {
         "metric": metric,
         "value": round(scenes_per_sec, 3),

@@ -180,6 +180,25 @@ class SetAbstractionMSG(nn.Module):
     # 64-wide bf16 plane otherwise wastes half its tiles on lane padding,
     # PERF.md round-4). Exact up to BN reassociation; opt-in until measured.
     packed_chain: bool = False
+    # run each eval scale through its OWN v4 kernel call with a solo-optimal
+    # query sort: the shared two-scale composite order costs scale 1 ~55% of
+    # ungated work vs its ~40% solo optimum (PERF.md round-3). d2 is already
+    # per-scale in v4 (lazy in-loop), so splitting only re-pays the launch +
+    # the second argsort. Exact (order never affects results); opt-in until
+    # measured on-chip.
+    per_scale_sort: bool = False
+
+    def _v4_call(self, v4_fn, scale_spec, xyz, new_xyz, params, bounds):
+        """Dispatch the fused v4 eval kernel: one multi-scale call (shared
+        composite sort), or one solo-sorted call per scale (per_scale_sort)."""
+        if not self.per_scale_sort:
+            return v4_fn(scale_spec, xyz, new_xyz, params, bounds,
+                         self.kernel_interpret, None, self.eval_subtile)
+        return [
+            v4_fn((scale_spec[si],), xyz, new_xyz, (params[si],), (bounds[si],),
+                  self.kernel_interpret, None, self.eval_subtile)[0]
+            for si in range(len(scale_spec))
+        ]
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train: bool = True, features_alt=None, cache=None):
@@ -278,10 +297,9 @@ class SetAbstractionMSG(nn.Module):
                     jnp.concatenate([a1, a1]), jnp.concatenate([b1, b1]),
                 ))
             if counts is not None:
-                outs = ball_query_group_mlp_pallas_v4(
-                    scale_spec, xyz, new_xyz, tuple(params),
-                    _counts_to_bounds(scale_spec, counts),
-                    self.kernel_interpret, None, self.eval_subtile,
+                outs = self._v4_call(
+                    ball_query_group_mlp_pallas_v4, scale_spec, xyz, new_xyz,
+                    tuple(params), _counts_to_bounds(scale_spec, counts),
                 )
             else:
                 # single-chunk supports (e.g. SA2's 512 SA1 centroids): the
@@ -308,10 +326,9 @@ class SetAbstractionMSG(nn.Module):
                     (A, Bq, *m.fused_eval_params()) for (A, Bq), m in zip(pres, mlps)
                 )
                 if counts is not None:
-                    outs = ball_query_group_mlp_pallas_v4(
-                        scale_spec, xyz, new_xyz, params,
-                        _counts_to_bounds(scale_spec, counts),
-                        self.kernel_interpret, None, self.eval_subtile,
+                    outs = self._v4_call(
+                        ball_query_group_mlp_pallas_v4, scale_spec, xyz, new_xyz,
+                        params, _counts_to_bounds(scale_spec, counts),
                     )
                 else:
                     outs = ball_query_group_mlp_pallas(
@@ -430,6 +447,9 @@ class PointNet2MSGEncoder(nn.Module):
     # lane-pack C<128 grouped planes through the train-path BN/MLP chain
     # (exact; opt-in until measured — see SetAbstractionMSG.packed_chain)
     packed_chain: bool = False
+    # solo-sorted per-scale eval kernels (exact; opt-in until measured — see
+    # SetAbstractionMSG.per_scale_sort)
+    per_scale_sort: bool = False
 
     @nn.compact
     def __call__(self, pc, mask=None, train: bool = True, paired: bool = False, sa1_cache=None):
@@ -446,7 +466,7 @@ class PointNet2MSGEncoder(nn.Module):
         Off the kernel path the directions are interleaved up front and the
         standard encoder runs — same results, no sharing."""
         knobs = dict(fused_mode=self.fused_mode, kernel_interpret=self.kernel_interpret,
-                     packed_chain=self.packed_chain)
+                     packed_chain=self.packed_chain, per_scale_sort=self.per_scale_sort)
         sa1 = SetAbstractionMSG(
             npoint=self.sa_npoints[0],
             scales=(

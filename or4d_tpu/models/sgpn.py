@@ -68,6 +68,9 @@ class SGPN(nn.Module):
     # lane-pack C<128 grouped planes through the train-path BN/MLP chain
     # (exact; opt-in until measured — see SetAbstractionMSG.packed_chain)
     packed_chain: bool = False
+    # solo-sorted per-scale eval kernels (exact; opt-in until measured — see
+    # SetAbstractionMSG.per_scale_sort)
+    per_scale_sort: bool = False
     # MULTI_REL_OUTPUTS (reference network_PointNet.py:274-318
     # PointNetRelClsMulti): sigmoid multi-label relation head — rel_logprobs
     # then carries per-relation probabilities, trained with weighted BCE
@@ -166,7 +169,8 @@ class SGPN(nn.Module):
             )
 
         enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples,
-                   dtype=self.compute_dtype, packed_chain=self.packed_chain)
+                   dtype=self.compute_dtype, packed_chain=self.packed_chain,
+                   per_scale_sort=self.per_scale_sort)
         obj_cache, rel_cache = sa1_caches if sa1_caches is not None else (None, None)
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
             obj_flat, mask=obj_rows_mask, train=train, sa1_cache=obj_cache

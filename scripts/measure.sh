@@ -44,9 +44,11 @@ run python bench.py --train --scenes 16 --packed-chain
 #    metric — fixed-eval-set / validate-every-epoch access pattern)
 run python bench.py --serving --scenes 16
 run python bench.py --serving --scenes 32
-# 6. A/B: SA2 pair sharing (exact, opt-in; last so a compile failure cannot
-#    cost the main numbers)
+# 6. A/B knobs (exact, opt-in; last so a compile failure cannot cost the
+#    main numbers): SA2 pair sharing, solo-sorted per-scale kernels
 run python bench.py --scenes 16 --paired-sa2
+run python bench.py --scenes 16 --per-scale-sort
+run python bench.py --scenes 16 --per-scale-sort --paired-sa2
 
 date > "$STAMP"
 echo "=== DONE $(date +%H:%M:%S) ===" | tee -a "$LOG"

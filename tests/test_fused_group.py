@@ -395,3 +395,26 @@ class TestFusedGroupMLPSorted:
             o = np.maximum(hw * np.asarray(a1) + np.asarray(b1), 0)
             want = o.max(axis=2)
             np.testing.assert_allclose(np.asarray(outs[s]), want, rtol=1e-4, atol=1e-4)
+
+    def test_sa_stage_v4_per_scale_sort(self):
+        """per_scale_sort (one solo-sorted v4 kernel call per scale) is
+        bit-identical to the shared-sort multi-scale call — the order only
+        changes tile homogeneity, never results."""
+        from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
+
+        rng = np.random.default_rng(43)
+        B, N = 2, 1100
+        pc = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((B, N, 5)).astype(np.float32))
+        scales = (SAScale(0.15, 4, (16, 24)), SAScale(0.3, 6, (16, 16)))
+
+        shared = SetAbstractionMSG(npoint=128, scales=scales, fused_mode="eval_kernel",
+                                   kernel_interpret=True, eval_subtile=32)
+        solo = SetAbstractionMSG(npoint=128, scales=scales, fused_mode="eval_kernel",
+                                 kernel_interpret=True, eval_subtile=32,
+                                 per_scale_sort=True)
+        v = shared.init(jax.random.key(0), pc, feats, train=False)
+        nx_a, f_a = shared.apply(v, pc, feats, train=False)
+        nx_b, f_b = solo.apply(v, pc, feats, train=False)
+        np.testing.assert_array_equal(np.asarray(nx_b), np.asarray(nx_a))
+        np.testing.assert_array_equal(np.asarray(f_b), np.asarray(f_a))
