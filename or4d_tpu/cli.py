@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
              "--checkpoint-dir",
     )
     p.add_argument("--split", default=None, help="infer/evaluate split (default: val for evaluate, test for infer)")
+    p.add_argument("--serving", action="store_true",
+                   help="evaluate: precompute per-batch SA1 geometry once and run the "
+                        "serving fast path (or4d_tpu/serving.py; fixed eval sets)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--limit", type=int, default=None, help="limit scans (smoke runs)")
@@ -565,12 +568,20 @@ def main(argv: list[str] | None = None) -> int:
     elif args.mode == "evaluate":
         split = args.split or "val"
         # pair_shared: eval crops are direction-invariant by construction, so
-        # eval_step's paired rel-encoder path fires (one encode per pair)
-        eval_ds = ORDataset(cfg, split, vocab, data_root=args.data_root, pair_shared=True)
+        # eval_step's paired rel-encoder path fires (one encode per pair).
+        # Serving mode instead precomputes SA1 geometry (unpaired crops).
+        eval_ds = ORDataset(cfg, split, vocab, data_root=args.data_root,
+                            pair_shared=not args.serving)
         state = init_or_restore()
-        # verbose=True: per-take classification reports, the reference's
-        # evaluate_predictions output
-        f1 = trainer.evaluate(state, eval_ds.batches(batch_size, limit=args.limit), verbose=True)
+        if args.serving:
+            from or4d_tpu.serving import ServingEvaluator
+
+            ev = ServingEvaluator(trainer, eval_ds.batches(batch_size, limit=args.limit))
+            f1 = ev.evaluate(state, verbose=True)
+        else:
+            # verbose=True: per-take classification reports, the reference's
+            # evaluate_predictions output
+            f1 = trainer.evaluate(state, eval_ds.batches(batch_size, limit=args.limit), verbose=True)
         print(json.dumps({"split": split, "relation_macro_f1": f1}))
     else:  # infer
         split = args.split or "test"

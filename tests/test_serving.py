@@ -88,3 +88,32 @@ class TestServingParity:
         with pytest.raises(ValueError, match="eval-only"):
             model.apply(variables, batch, train=True, pack=plain, sa1_caches=caches,
                         rngs={"dropout": jax.random.key(1)})
+
+
+class TestServingCLI:
+    def test_evaluate_serving_cli(self, tmp_path, capsys):
+        import json
+        import shutil
+        from pathlib import Path
+
+        from or4d_tpu import cli
+
+        root = tmp_path / "real_data"
+        shutil.copytree(Path(__file__).parent / "golden" / "real_data", root)
+        cfg = {
+            "MAX_EPOCHES": 1, "LR": 1e-3, "USE_GT": True,
+            "MODEL": {"sa_npoints": [32, 16], "sa_nsamples": [[4, 8], [8, 8]]},
+            "dataset": {"num_points_objects": 96, "num_points_relation": 128,
+                        "data_augmentation": False},
+            "TPU": {"max_objects": 10, "max_edges": 90, "scene_batch": 2,
+                    "donate_state": False},
+        }
+        cfg_path = tmp_path / "tiny_serving.json"
+        cfg_path.write_text(json.dumps(cfg))
+        assert cli.main([
+            "evaluate", "--config", str(cfg_path), "--data-root", str(root),
+            "--split", "train", "--cache-dir", str(tmp_path / "cache"), "--serving",
+        ]) == 0
+        out = capsys.readouterr().out
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["split"] == "train" and 0.0 <= rec["relation_macro_f1"] <= 1.0
