@@ -100,21 +100,38 @@ def build_sgpn_sa1_caches(model, batch, pack=None) -> tuple[SA1Cache, SA1Cache]:
 class ServingEvaluator:
     """Repeated evaluation over a fixed batch list (the reference's
     validate-every-epoch loop): geometry caches are built once, then every
-    ``evaluate(state)`` call runs the serving fast path."""
+    ``evaluate(state)`` call runs the serving fast path.
 
-    def __init__(self, trainer, batches):
+    ``offload``: keep caches in HOST memory between calls and stream each
+    batch's cache to the device inside evaluate (transfers overlap compute in
+    a pipelined deployment). "auto" offloads once the resident caches exceed
+    ``device_budget_bytes`` — a full val split's grouped planes (~0.9 GB per
+    16-scene batch at paper shapes) cannot all live in HBM at once."""
+
+    def __init__(self, trainer, batches, offload: bool | str = "auto",
+                 device_budget_bytes: int = 4 << 30):
+        import numpy as np
+
         self.trainer = trainer
         self.batches = []
+        self._build = jax.jit(lambda b, p: build_sgpn_sa1_caches(trainer.model, b, p))
+        resident = 0
         for batch in batches:
             from or4d_tpu.data.scene_batch import SlotPack
 
             pack = SlotPack.build(batch)
             batch = jax.device_put(batch)
             pack = jax.device_put(pack)
-            caches = jax.jit(
-                lambda b, p: build_sgpn_sa1_caches(trainer.model, b, p)
-            )(batch, pack)
-            self.batches.append((batch, pack, caches))
+            caches = self._build(batch, pack)
+            nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(caches))
+            resident += nbytes
+            self.batches.append([batch, pack, caches, False])
+        if offload == "auto":
+            offload = resident > device_budget_bytes
+        if offload:
+            for entry in self.batches:
+                entry[2] = jax.tree_util.tree_map(np.asarray, jax.device_get(entry[2]))
+                entry[3] = True
         self._eval = jax.jit(
             lambda state, b, p, c: trainer.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
@@ -128,7 +145,9 @@ class ServingEvaluator:
         from or4d_tpu.train.metrics import RelationMetricAccumulator
 
         acc = RelationMetricAccumulator(list(self.trainer.vocab.relation_names))
-        for batch, pack, caches in self.batches:
+        for batch, pack, caches, offloaded in self.batches:
+            if offloaded:
+                caches = jax.device_put(caches)
             rel_logprobs = self._eval(state, batch, pack, caches)
             acc.update_batch(batch, np.asarray(rel_logprobs))
         if verbose:

@@ -117,3 +117,22 @@ class TestServingCLI:
         out = capsys.readouterr().out
         rec = json.loads(out.strip().splitlines()[-1])
         assert rec["split"] == "train" and 0.0 <= rec["relation_macro_f1"] <= 1.0
+
+    def test_serving_evaluator_offload_matches_resident(self):
+        from or4d_tpu.config import ExperimentConfig, ModelConfig, TPUConfig
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.serving import ServingEvaluator
+        from or4d_tpu.train.loop import Trainer
+
+        cfg = ExperimentConfig(
+            dataset=TINY,
+            model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8))),
+            tpu=TPUConfig(scene_batch=2, donate_state=False, mesh_data=1, mesh_model=1),
+        )
+        trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        batches = [make_scene_batch(2, seed=8, n_objects=4, ds=TINY, points_per_obj=150)]
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        resident = ServingEvaluator(trainer, batches, offload=False)
+        offloaded = ServingEvaluator(trainer, batches, offload=True)
+        assert offloaded.batches[0][3] and not resident.batches[0][3]
+        assert abs(resident.evaluate(state) - offloaded.evaluate(state)) < 1e-9
