@@ -40,6 +40,10 @@ def main() -> None:
         help="lane-pack C=64 grouped planes through the train BN/MLP chain (exact; A/B knob)",
     )
     ap.add_argument(
+        "--eval-subtile", type=int, default=32,
+        help="two-gate sub-tile rows in the fused eval kernels (exact tuning knob)",
+    )
+    ap.add_argument(
         "--per-scale-sort", action="store_true",
         help="solo-sorted per-scale eval kernels (exact; A/B knob)",
     )
@@ -76,6 +80,7 @@ def main() -> None:
     model = SGPN(
         num_classes=12, num_relations=15, compute_dtype=jnp.bfloat16,
         paired_sa2=args.paired_sa2, per_scale_sort=args.per_scale_sort,
+        eval_subtile=args.eval_subtile,
     )
     variables = jax.jit(
         lambda b: model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, b, train=False)
@@ -176,6 +181,8 @@ def main() -> None:
             path += "+paired_sa2"
         if args.per_scale_sort:
             path += "+per_scale_sort"
+        if args.eval_subtile != 32:
+            path += f"+subtile{args.eval_subtile}"
     record = {
         "metric": metric,
         "value": round(scenes_per_sec, 3),

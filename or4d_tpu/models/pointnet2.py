@@ -450,6 +450,8 @@ class PointNet2MSGEncoder(nn.Module):
     # solo-sorted per-scale eval kernels (exact; opt-in until measured — see
     # SetAbstractionMSG.per_scale_sort)
     per_scale_sort: bool = False
+    # two-gate sub-tile rows (exact; tuning knob — see SetAbstractionMSG)
+    eval_subtile: int = 32
 
     @nn.compact
     def __call__(self, pc, mask=None, train: bool = True, paired: bool = False, sa1_cache=None):
@@ -466,7 +468,8 @@ class PointNet2MSGEncoder(nn.Module):
         Off the kernel path the directions are interleaved up front and the
         standard encoder runs — same results, no sharing."""
         knobs = dict(fused_mode=self.fused_mode, kernel_interpret=self.kernel_interpret,
-                     packed_chain=self.packed_chain, per_scale_sort=self.per_scale_sort)
+                     packed_chain=self.packed_chain, per_scale_sort=self.per_scale_sort,
+                     eval_subtile=self.eval_subtile)
         sa1 = SetAbstractionMSG(
             npoint=self.sa_npoints[0],
             scales=(

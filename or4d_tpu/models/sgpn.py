@@ -71,6 +71,8 @@ class SGPN(nn.Module):
     # solo-sorted per-scale eval kernels (exact; opt-in until measured — see
     # SetAbstractionMSG.per_scale_sort)
     per_scale_sort: bool = False
+    # two-gate sub-tile rows for the fused eval kernels (exact tuning knob)
+    eval_subtile: int = 32
     # MULTI_REL_OUTPUTS (reference network_PointNet.py:274-318
     # PointNetRelClsMulti): sigmoid multi-label relation head — rel_logprobs
     # then carries per-relation probabilities, trained with weighted BCE
@@ -170,7 +172,7 @@ class SGPN(nn.Module):
 
         enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples,
                    dtype=self.compute_dtype, packed_chain=self.packed_chain,
-                   per_scale_sort=self.per_scale_sort)
+                   per_scale_sort=self.per_scale_sort, eval_subtile=self.eval_subtile)
         obj_cache, rel_cache = sa1_caches if sa1_caches is not None else (None, None)
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
             obj_flat, mask=obj_rows_mask, train=train, sa1_cache=obj_cache

@@ -49,6 +49,9 @@ run python bench.py --serving --scenes 32
 run python bench.py --scenes 16 --paired-sa2
 run python bench.py --scenes 16 --per-scale-sort
 run python bench.py --scenes 16 --per-scale-sort --paired-sa2
+# paired rows are HALF the unpaired count — the 32-row gate granularity may
+# no longer be optimal
+run python bench.py --scenes 16 --eval-subtile 64
 
 date > "$STAMP"
 echo "=== DONE $(date +%H:%M:%S) ===" | tee -a "$LOG"
