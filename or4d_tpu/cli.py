@@ -74,11 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--roles", default=None, help="role predictions json (phases input)")
     p.add_argument("--output-dir", default=None)
     p.add_argument("--from-gt", action="store_true", help="L2: GT objects (registered scans) + annotation-json humans")
-    # instance-labels stage
     # phases-eval stage
     p.add_argument("--gt-dir", default=None, help="phases-eval: GT phase_to_frames_{take}.json dir")
     p.add_argument("--pred-dir", default=None, help="phases-eval: predicted *_phase_to_frames_{take}.json dir")
     p.add_argument("--pred-stem", default=None, help="phases-eval: prediction filename stem (default: any match)")
+    # instance-labels stage
     p.add_argument("--boxes-dir", default=None, help="group_free_predictions npz dir")
     p.add_argument("--poses-dir", default=None, help="voxelpose pred_{take}_{frame}.npy dir")
     p.add_argument("--pcd-dir", default=None, help="fused point cloud dir ({take}_{scan}.pcd)")
@@ -555,7 +555,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.mode == "train":
         # val batches only feed eval_step -> pair-shared crops (paired path)
-        val_ds = ORDataset(cfg, "val", vocab, data_root=args.data_root, pair_shared=True)
+        val_ds = ORDataset(cfg, "val", vocab, pair_shared=True, **ds_kw)
         state = init_or_restore()
         state, history = trainer.fit(
             state,
@@ -570,8 +570,7 @@ def main(argv: list[str] | None = None) -> int:
         # pair_shared: eval crops are direction-invariant by construction, so
         # eval_step's paired rel-encoder path fires (one encode per pair).
         # Serving mode instead precomputes SA1 geometry (unpaired crops).
-        eval_ds = ORDataset(cfg, split, vocab, data_root=args.data_root,
-                            pair_shared=not args.serving)
+        eval_ds = ORDataset(cfg, split, vocab, pair_shared=not args.serving, **ds_kw)
         state = init_or_restore()
         if args.serving:
             from or4d_tpu.serving import ServingEvaluator
@@ -585,7 +584,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"split": split, "relation_macro_f1": f1}))
     else:  # infer
         split = args.split or "test"
-        eval_ds = ORDataset(cfg, split, vocab, data_root=args.data_root, for_eval=True)
+        eval_ds = ORDataset(cfg, split, vocab, for_eval=True, **ds_kw)
         state = init_or_restore()
         scan_relations = trainer.predict_relations(state, eval_ds.batches(batch_size, limit=args.limit))
         out = args.output or f"scan_relations_{cfg.name}_{split}.json"
