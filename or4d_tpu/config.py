@@ -151,6 +151,11 @@ class TPUConfig:
     # lane-pack C<128 grouped planes through the train BN/MLP chain (exact;
     # opt-in until measured on-chip — SetAbstractionMSG.packed_chain)
     packed_chain: bool = False
+    # solo-sorted per-scale eval kernels (exact; opt-in until measured —
+    # SetAbstractionMSG.per_scale_sort)
+    per_scale_sort: bool = False
+    # two-gate sub-tile rows for the fused eval kernels (exact tuning knob)
+    eval_subtile: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,6 +95,8 @@ class SGPN(nn.Module):
             sa_npoints=tuple(cfg.model.sa_npoints),
             sa_nsamples=tuple(tuple(s) for s in cfg.model.sa_nsamples),
             packed_chain=cfg.tpu.packed_chain,
+            per_scale_sort=cfg.tpu.per_scale_sort,
+            eval_subtile=cfg.tpu.eval_subtile,
             multi_rel_outputs=cfg.model.multi_rel_outputs,
         )
 
