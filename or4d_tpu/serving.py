@@ -49,7 +49,8 @@ class SA1Cache:
 jax.tree_util.register_dataclass(SA1Cache, data_fields=["new_xyz", "grouped"], meta_fields=[])
 
 
-def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int], ...]) -> SA1Cache:
+def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int], ...],
+                    dtype=jnp.float32) -> SA1Cache:
     """One-time geometry precompute for a set of crops ``pc`` (R, P, C):
     FPS -> centroids, ball query per scale -> grouped [p_abs | f] planes.
 
@@ -57,6 +58,12 @@ def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int],
     selection order, first-hit-fill padding), so the cached neighborhoods
     are the ones the cold path computes. Gathers here are the one-time cost
     the serving path amortizes away.
+
+    ``dtype``: storage dtype of the grouped planes — pass the model's
+    compute dtype (bf16 on TPU) to halve cache memory/streaming EXACTLY:
+    the cold path casts the very same values to that dtype at each dense
+    entry (DelayedSharedMLP.pre/from_grouped), so a dtype-stored cache feeds
+    bit-identical matmul inputs. Centroids stay f32 (geometry contract).
     """
     xyz = pc[..., :3].astype(jnp.float32)
     feats = pc[..., 3:]
@@ -67,7 +74,9 @@ def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int],
     for qidx in scale_idx:  # (R, M, ns)
         g_xyz = jnp.take_along_axis(xyz[:, :, None, :], qidx[..., None], axis=1)
         g_f = jnp.take_along_axis(feats[:, :, None, :], qidx[..., None], axis=1)
-        grouped.append(jnp.concatenate([g_xyz, g_f.astype(jnp.float32)], axis=-1))
+        grouped.append(
+            jnp.concatenate([g_xyz, g_f.astype(jnp.float32)], axis=-1).astype(dtype)
+        )
     return SA1Cache(new_xyz=new_xyz, grouped=tuple(grouped))
 
 
@@ -91,9 +100,10 @@ def build_sgpn_sa1_caches(model, batch, pack=None) -> tuple[SA1Cache, SA1Cache]:
         (r, ns) for r, ns in zip((0.1, 0.2), model.sa_nsamples[0])
     )
     npoint = model.sa_npoints[0]
+    dtype = model.compute_dtype
     return (
-        build_sa1_cache(obj_flat, npoint, sa1_scales),
-        build_sa1_cache(rel_flat, npoint, sa1_scales),
+        build_sa1_cache(obj_flat, npoint, sa1_scales, dtype=dtype),
+        build_sa1_cache(rel_flat, npoint, sa1_scales, dtype=dtype),
     )
 
 
