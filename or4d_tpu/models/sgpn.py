@@ -120,13 +120,15 @@ class SGPN(nn.Module):
         paired = (not train) and pack is not None and getattr(pack, "pair_idx", None) is not None
         if sa1_caches is not None:
             # serving: the raw crops never touch the device path — masks come
-            # from the (flat, unpaired) pack the caches were built against
-            if train or paired or sharded_pack:
-                raise ValueError("sa1_caches: eval-only, flat unpaired packs")
+            # from the (unpaired; flat or dp-sharded) pack the caches were
+            # built against (serving.build_sgpn_sa1_caches mirrors this
+            # function's gathers, including the per-shard local ones)
+            if train or paired:
+                raise ValueError("sa1_caches: eval-only, unpaired packs")
             obj_flat = rel_flat = None
             if pack is not None:
-                obj_rows_mask = pack.obj_valid.astype(jnp.float32)
-                edge_rows_mask = pack.edge_valid.astype(jnp.float32)
+                obj_rows_mask = pack.obj_valid.reshape(-1).astype(jnp.float32)
+                edge_rows_mask = pack.edge_valid.reshape(-1).astype(jnp.float32)
         else:
             obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(jnp.float32)
             rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(jnp.float32)

@@ -83,8 +83,8 @@ def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int],
 def build_sgpn_sa1_caches(model, batch, pack=None) -> tuple[SA1Cache, SA1Cache]:
     """(obj_cache, rel_cache) for an SGPN eval batch, matching the row layout
     the model's encoders see (flattened slots, optionally SlotPack-compacted
-    — the same gathers models/sgpn.py applies). Jit-safe; run once per batch
-    of a fixed eval set."""
+    — the same gathers models/sgpn.py applies; per-shard local gathers for
+    dp-sharded packs). Jit-safe; run once per batch of a fixed eval set."""
     S, O, Po, Co = batch.obj_points.shape
     _, E, Pr, Cr = batch.rel_points.shape
     obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(jnp.float32)
@@ -92,10 +92,25 @@ def build_sgpn_sa1_caches(model, batch, pack=None) -> tuple[SA1Cache, SA1Cache]:
     if pack is not None:
         if getattr(pack, "pair_idx", None) is not None:
             raise ValueError("serving caches are built for unpaired packs (SA1 is skipped entirely)")
-        if pack.obj_idx.ndim != 1:
-            raise ValueError("serving caches support flat (single-device) packs")
-        obj_flat = jnp.take(obj_flat, pack.obj_idx, axis=0)
-        rel_flat = jnp.take(rel_flat, pack.edge_idx, axis=0)
+        if pack.obj_idx.ndim == 2:
+            # dp-sharded pack: indices are LOCAL to each shard's scene block
+            # (the same gathers models/sgpn.py gather_local applies), so the
+            # cache rows stay dp-local — SPMD never crosses shards
+            D = pack.obj_idx.shape[0]
+
+            def gather_local(flat, idx):
+                g = jnp.take_along_axis(
+                    flat.reshape((D, flat.shape[0] // D) + flat.shape[1:]),
+                    idx.reshape(idx.shape + (1,) * (flat.ndim - 1)),
+                    axis=1,
+                )
+                return g.reshape((D * idx.shape[1],) + flat.shape[1:])
+
+            obj_flat = gather_local(obj_flat, pack.obj_idx)
+            rel_flat = gather_local(rel_flat, pack.edge_idx)
+        else:
+            obj_flat = jnp.take(obj_flat, pack.obj_idx, axis=0)
+            rel_flat = jnp.take(rel_flat, pack.edge_idx, axis=0)
     sa1_scales = tuple(
         (r, ns) for r, ns in zip((0.1, 0.2), model.sa_nsamples[0])
     )
@@ -116,23 +131,56 @@ class ServingEvaluator:
     batch's cache to the device inside evaluate (transfers overlap compute in
     a pipelined deployment). "auto" offloads once the resident caches exceed
     ``device_budget_bytes`` — a full val split's grouped planes (~0.9 GB per
-    16-scene batch at paper shapes) cannot all live in HBM at once."""
+    16-scene batch at paper shapes) cannot all live in HBM at once.
+
+    Multi-chip: on a dp-only mesh (trainer.cfg.tpu.mesh_data > 1) the batch,
+    per-shard pack, and cache rows are sharded over 'dp' — cache rows are
+    D*cap with per-shard-local indices, so every SA1 matmul stays on its
+    scenes' chip (same SPMD layout as the cold sharded-pack path). mp>1
+    meshes are rejected: slot packing (which the caches are built against)
+    is dp-only (train/loop.py:_pack_for)."""
 
     def __init__(self, trainer, batches, offload: bool | str = "auto",
                  device_budget_bytes: int = 4 << 30):
         import numpy as np
 
+        from or4d_tpu.data.scene_batch import SlotPack
+
         self.trainer = trainer
         self.batches = []
+        mesh = getattr(trainer, "mesh", None)
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        if self.mesh is not None and self.mesh.shape["mp"] != 1:
+            raise ValueError(
+                "ServingEvaluator needs a dp-only mesh (slot packing, which the "
+                "SA1 caches are built against, is disabled on mp>1 — "
+                "train/loop.py:_pack_for)"
+            )
         self._build = jax.jit(lambda b, p: build_sgpn_sa1_caches(trainer.model, b, p))
+        self._cache_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._cache_sharding = NamedSharding(self.mesh, P("dp"))
         resident = 0
         for batch in batches:
-            from or4d_tpu.data.scene_batch import SlotPack
+            if self.mesh is not None:
+                from or4d_tpu.parallel.mesh import shard_batch
 
-            pack = SlotPack.build(batch)
-            batch = jax.device_put(batch)
-            pack = jax.device_put(pack)
-            caches = self._build(batch, pack)
+                dp = self.mesh.shape["dp"]
+                if batch.num_scenes % dp:
+                    batch = batch.pad_scenes(dp)
+                pack = SlotPack.build(batch, shards=dp)
+                batch = shard_batch(batch, self.mesh)
+                pack = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self._cache_sharding), pack
+                )
+                caches = jax.device_put(self._build(batch, pack), self._cache_sharding)
+            else:
+                pack = SlotPack.build(batch)
+                batch = jax.device_put(batch)
+                pack = jax.device_put(pack)
+                caches = self._build(batch, pack)
             nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(caches))
             resident += nbytes
             self.batches.append([batch, pack, caches, False])
@@ -155,9 +203,19 @@ class ServingEvaluator:
         from or4d_tpu.train.metrics import RelationMetricAccumulator
 
         acc = RelationMetricAccumulator(list(self.trainer.vocab.relation_names))
+        if self.mesh is not None:
+            # replicate params/batch_stats over the mesh (no-op when the
+            # state already lives there, e.g. straight out of init_state)
+            from or4d_tpu.parallel.mesh import replicated
+
+            state = jax.device_put(state, replicated(self.mesh))
         for batch, pack, caches, offloaded in self.batches:
             if offloaded:
-                caches = jax.device_put(caches)
+                caches = (
+                    jax.device_put(caches, self._cache_sharding)
+                    if self._cache_sharding is not None
+                    else jax.device_put(caches)
+                )
             rel_logprobs = self._eval(state, batch, pack, caches)
             acc.update_batch(batch, np.asarray(rel_logprobs))
         if verbose:

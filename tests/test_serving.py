@@ -90,6 +90,77 @@ class TestServingParity:
                         rngs={"dropout": jax.random.key(1)})
 
 
+class TestShardedServing:
+    def test_sharded_cache_matches_flat(self):
+        """dp-sharded pack + caches must reproduce the flat serving logits
+        (per-shard-local cache rows are a pure re-layout of the same crops)."""
+        batch = make_scene_batch(4, seed=9, n_objects=4, ds=TINY, points_per_obj=150)
+        model = _tiny_model()
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False
+        )
+        flat_pack = SlotPack.build(batch)
+        flat = model.apply(variables, batch, train=False, pack=flat_pack,
+                           sa1_caches=build_sgpn_sa1_caches(model, batch, flat_pack))
+        sh_pack = SlotPack.build(batch, shards=4)
+        sharded = model.apply(variables, batch, train=False, pack=sh_pack,
+                              sa1_caches=build_sgpn_sa1_caches(model, batch, sh_pack))
+        em = np.asarray(batch.edge_mask)
+        om = np.asarray(batch.obj_mask)
+        np.testing.assert_allclose(
+            np.asarray(flat.rel_logprobs)[em], np.asarray(sharded.rel_logprobs)[em], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(flat.obj_logprobs)[om], np.asarray(sharded.obj_logprobs)[om], atol=1e-5
+        )
+
+    def test_dp4_serving_evaluator_matches_flat(self):
+        """ServingEvaluator on a dp=4 CPU mesh: same macro-F1 as the
+        single-device evaluator, with batch/pack/cache rows sharded over dp."""
+        from or4d_tpu.config import ExperimentConfig, ModelConfig, TPUConfig
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.serving import ServingEvaluator
+        from or4d_tpu.train.loop import Trainer
+
+        base = dict(
+            dataset=TINY,
+            model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8))),
+        )
+        batches = [make_scene_batch(4, seed=9, n_objects=4, ds=TINY, points_per_obj=150)]
+
+        cfg1 = ExperimentConfig(
+            tpu=TPUConfig(scene_batch=4, donate_state=False, mesh_data=1, mesh_model=1), **base
+        )
+        tr1 = Trainer(cfg1, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        state = tr1.init_state(jax.random.key(0), batches[0])
+        f1_flat = ServingEvaluator(tr1, batches).evaluate(state)
+
+        cfg4 = ExperimentConfig(
+            tpu=TPUConfig(scene_batch=4, donate_state=False, mesh_data=4, mesh_model=1), **base
+        )
+        tr4 = Trainer(cfg4, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        ev4 = ServingEvaluator(tr4, batches)
+        assert ev4.mesh is not None and ev4.batches[0][1].obj_idx.ndim == 2
+        assert abs(ev4.evaluate(state) - f1_flat) < 1e-6
+
+    def test_mp_mesh_rejected(self):
+        import pytest
+
+        from or4d_tpu.config import ExperimentConfig, ModelConfig, TPUConfig
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.serving import ServingEvaluator
+        from or4d_tpu.train.loop import Trainer
+
+        cfg = ExperimentConfig(
+            dataset=TINY,
+            model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8))),
+            tpu=TPUConfig(scene_batch=4, donate_state=False, mesh_data=2, mesh_model=2),
+        )
+        tr = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        with pytest.raises(ValueError, match="dp-only"):
+            ServingEvaluator(tr, [])
+
+
 class TestServingCLI:
     def test_evaluate_serving_cli(self, tmp_path, capsys):
         import json
