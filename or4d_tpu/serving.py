@@ -217,7 +217,9 @@ class ServingEvaluator:
                     else jax.device_put(caches)
                 )
             rel_logprobs = self._eval(state, batch, pack, caches)
-            acc.update_batch(batch, np.asarray(rel_logprobs))
+            from or4d_tpu.train.loop import _gather_eval
+
+            acc.update_batch(batch, np.asarray(_gather_eval(rel_logprobs)))
         if verbose:
             for take, report in acc.per_take_reports().items():
                 print(f"\nTake {take}\n{report.to_text()}")

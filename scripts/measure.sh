@@ -52,6 +52,11 @@ run python bench.py --scenes 16 --per-scale-sort --paired-sa2
 # paired rows are HALF the unpaired count — the 32-row gate granularity may
 # no longer be optimal
 run python bench.py --scenes 16 --eval-subtile 64
+# 7. attribution passes (inform the next lever, cost nothing above):
+#    serving stage split (cache build / steady-state / SA1-alone vs tail)
+run python scripts/bench_serving.py
+# summary table straight into the log
+run python scripts/summarize_measure.py "$LOG"
 
 date > "$STAMP"
 echo "=== DONE $(date +%H:%M:%S) ===" | tee -a "$LOG"
