@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from or4d_tpu import ops
 from or4d_tpu.models.layers import MLP
 
 
@@ -61,7 +62,7 @@ class TripletGCNLayer(nn.Module):
         msg = msg * edge_mask[..., None].astype(msg.dtype)
 
         def scatter_one(m, d):
-            return jax.ops.segment_sum(m, d, num_segments=O)
+            return ops.segment_sum(m, d, num_segments=O)
 
         agg = jax.vmap(scatter_one)(msg, dst)  # (S, O, H)
         new_x = MLP((self.dim_hidden, self.dim_node), do_bn=self.use_bn, name="nn2")(
