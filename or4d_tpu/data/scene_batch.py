@@ -166,6 +166,24 @@ def is_pair_shared(batch: "SceneBatch") -> bool:
     return checked
 
 
+def gather_rows_local(flat, idx):
+    """Per-dp-shard batched gather for sharded SlotPack plans: ``flat``
+    (D*rows, ...) viewed as (D, rows, ...) blocks, ``idx`` (D, cap) LOCAL to
+    each shard's block -> (D*cap, ...). SPMD keeps every gather on its
+    shard's chip. The single definition is the layout contract between the
+    model's encoder-input gathers (models/sgpn.py) and the serving-cache
+    build that must mirror them row-for-row (serving.build_sgpn_sa1_caches)."""
+    import jax.numpy as jnp
+
+    D = idx.shape[0]
+    g = jnp.take_along_axis(
+        flat.reshape((D, flat.shape[0] // D) + flat.shape[1:]),
+        idx.reshape(idx.shape + (1,) * (flat.ndim - 1)),
+        axis=1,
+    )
+    return g.reshape((D * idx.shape[1],) + flat.shape[1:])
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SlotPack:

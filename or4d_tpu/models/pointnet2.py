@@ -33,6 +33,14 @@ from or4d_tpu import ops
 from or4d_tpu.models.layers import MaskedBatchNorm, SharedMLP
 
 
+# Paper ball-query radii (pointnet2_msg_cls.py:45-78) — the single source for
+# the encoder, the serving-cache geometry build (or4d_tpu/serving.py) and the
+# attribution scripts; a second copy could silently desync cache neighborhoods
+# from the ones the cold path computes.
+SA1_RADII = (0.1, 0.2)
+SA2_RADII = (0.2, 0.4)
+
+
 @dataclasses.dataclass(frozen=True)
 class SAScale:
     radius: float
@@ -473,8 +481,8 @@ class PointNet2MSGEncoder(nn.Module):
         sa1 = SetAbstractionMSG(
             npoint=self.sa_npoints[0],
             scales=(
-                SAScale(0.1, self.sa_nsamples[0][0], (64, 64)),
-                SAScale(0.2, self.sa_nsamples[0][1], (64, 128)),
+                SAScale(SA1_RADII[0], self.sa_nsamples[0][0], (64, 64)),
+                SAScale(SA1_RADII[1], self.sa_nsamples[0][1], (64, 128)),
             ),
             dtype=self.dtype,
             name="sa1",
@@ -483,8 +491,8 @@ class PointNet2MSGEncoder(nn.Module):
         sa2 = SetAbstractionMSG(
             npoint=self.sa_npoints[1],
             scales=(
-                SAScale(0.2, self.sa_nsamples[1][0], (128, 128)),
-                SAScale(0.4, self.sa_nsamples[1][1], (128, 128)),
+                SAScale(SA2_RADII[0], self.sa_nsamples[1][0], (128, 128)),
+                SAScale(SA2_RADII[1], self.sa_nsamples[1][1], (128, 128)),
             ),
             dtype=self.dtype,
             name="sa2",

@@ -132,41 +132,32 @@ class SGPN(nn.Module):
         else:
             obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(jnp.float32)
             rel_flat = batch.rel_points.reshape(S * E, Pr, Cr).astype(jnp.float32)
-        if sa1_caches is not None:
-            pass
-        elif sharded_pack:
-            # per-dp-shard plans (SlotPack.build(shards=dp)): batched gathers
-            # whose indices are local to each shard's scene block, so SPMD
-            # keeps them on-chip
-            D = pack.obj_idx.shape[0]
+            if sharded_pack:
+                # per-dp-shard plans (SlotPack.build(shards=dp)): batched
+                # gathers whose indices are local to each shard's scene
+                # block, so SPMD keeps them on-chip
+                from or4d_tpu.data.scene_batch import gather_rows_local
 
-            def gather_local(flat, idx):
-                g = jnp.take_along_axis(
-                    flat.reshape((D, flat.shape[0] // D) + flat.shape[1:]),
-                    idx.reshape(idx.shape + (1,) * (flat.ndim - 1)),
-                    axis=1,
-                )
-                return g.reshape((D * idx.shape[1],) + flat.shape[1:])
-
-            obj_flat = gather_local(obj_flat, pack.obj_idx)
-            obj_rows_mask = pack.obj_valid.reshape(-1).astype(jnp.float32)
-            if paired:
-                rel_flat = gather_local(rel_flat, pack.pair_idx)
-                edge_rows_mask = pack.pair_valid.reshape(-1).astype(jnp.float32)
-            else:
-                rel_flat = gather_local(rel_flat, pack.edge_idx)
-                edge_rows_mask = pack.edge_valid.reshape(-1).astype(jnp.float32)
-        elif pack is not None:
-            # slot packing: run the encoders only over (bucketed) valid rows,
-            # then scatter features back into the padded (S, O/E) layout
-            obj_flat = jnp.take(obj_flat, pack.obj_idx, axis=0)
-            obj_rows_mask = pack.obj_valid.astype(jnp.float32)
-            if paired:
-                rel_flat = jnp.take(rel_flat, pack.pair_idx, axis=0)
-                edge_rows_mask = pack.pair_valid.astype(jnp.float32)
-            else:
-                rel_flat = jnp.take(rel_flat, pack.edge_idx, axis=0)
-                edge_rows_mask = pack.edge_valid.astype(jnp.float32)
+                obj_flat = gather_rows_local(obj_flat, pack.obj_idx)
+                obj_rows_mask = pack.obj_valid.reshape(-1).astype(jnp.float32)
+                if paired:
+                    rel_flat = gather_rows_local(rel_flat, pack.pair_idx)
+                    edge_rows_mask = pack.pair_valid.reshape(-1).astype(jnp.float32)
+                else:
+                    rel_flat = gather_rows_local(rel_flat, pack.edge_idx)
+                    edge_rows_mask = pack.edge_valid.reshape(-1).astype(jnp.float32)
+            elif pack is not None:
+                # slot packing: run the encoders only over (bucketed) valid
+                # rows, then scatter features back into the padded (S, O/E)
+                # layout
+                obj_flat = jnp.take(obj_flat, pack.obj_idx, axis=0)
+                obj_rows_mask = pack.obj_valid.astype(jnp.float32)
+                if paired:
+                    rel_flat = jnp.take(rel_flat, pack.pair_idx, axis=0)
+                    edge_rows_mask = pack.pair_valid.astype(jnp.float32)
+                else:
+                    rel_flat = jnp.take(rel_flat, pack.edge_idx, axis=0)
+                    edge_rows_mask = pack.edge_valid.astype(jnp.float32)
         if paired:
             # (Cp, Pr, 7) forward crops -> (Cp, Pr, 8) with both mask channels
             m = rel_flat[..., 6:7]

@@ -207,8 +207,19 @@ def evaluate_phase_dirs(gt_dir: str | Path, pred_dir: str | Path,
                 )
             if not candidates:
                 continue
+            if len(candidates) > 1:
+                import warnings
+
+                warnings.warn(
+                    f"take {take_idx}: multiple prediction stems match "
+                    f"({', '.join(p.name for p in candidates)}); using "
+                    f"{candidates[0].name} — pass pred_stem to disambiguate",
+                    stacklevel=2,
+                )
             gt = json.loads(gt_path.read_text())
             pred = json.loads(candidates[0].read_text())
+            if not gt:  # no phases annotated: nothing to score, skip the take
+                continue
             take_length = int(max(end for _, end in gt.values())) + 1
             gts = expand_to_per_frame(gt, take_length)
             preds = expand_to_per_frame(pred, take_length) if pred else np.full(take_length, -1, np.int64)

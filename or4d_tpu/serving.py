@@ -93,26 +93,21 @@ def build_sgpn_sa1_caches(model, batch, pack=None) -> tuple[SA1Cache, SA1Cache]:
         if getattr(pack, "pair_idx", None) is not None:
             raise ValueError("serving caches are built for unpaired packs (SA1 is skipped entirely)")
         if pack.obj_idx.ndim == 2:
-            # dp-sharded pack: indices are LOCAL to each shard's scene block
-            # (the same gathers models/sgpn.py gather_local applies), so the
-            # cache rows stay dp-local — SPMD never crosses shards
-            D = pack.obj_idx.shape[0]
+            # dp-sharded pack: indices are LOCAL to each shard's scene block —
+            # the ONE gather definition shared with the model
+            # (data/scene_batch.py gather_rows_local) keeps the cache row
+            # order bit-identical to the encoder-input rows and dp-local
+            from or4d_tpu.data.scene_batch import gather_rows_local
 
-            def gather_local(flat, idx):
-                g = jnp.take_along_axis(
-                    flat.reshape((D, flat.shape[0] // D) + flat.shape[1:]),
-                    idx.reshape(idx.shape + (1,) * (flat.ndim - 1)),
-                    axis=1,
-                )
-                return g.reshape((D * idx.shape[1],) + flat.shape[1:])
-
-            obj_flat = gather_local(obj_flat, pack.obj_idx)
-            rel_flat = gather_local(rel_flat, pack.edge_idx)
+            obj_flat = gather_rows_local(obj_flat, pack.obj_idx)
+            rel_flat = gather_rows_local(rel_flat, pack.edge_idx)
         else:
             obj_flat = jnp.take(obj_flat, pack.obj_idx, axis=0)
             rel_flat = jnp.take(rel_flat, pack.edge_idx, axis=0)
+    from or4d_tpu.models.pointnet2 import SA1_RADII
+
     sa1_scales = tuple(
-        (r, ns) for r, ns in zip((0.1, 0.2), model.sa_nsamples[0])
+        (r, ns) for r, ns in zip(SA1_RADII, model.sa_nsamples[0])
     )
     npoint = model.sa_npoints[0]
     dtype = model.compute_dtype
@@ -142,6 +137,8 @@ class ServingEvaluator:
 
     def __init__(self, trainer, batches, offload: bool | str = "auto",
                  device_budget_bytes: int = 4 << 30):
+        import dataclasses as dc
+
         import numpy as np
 
         from or4d_tpu.data.scene_batch import SlotPack
@@ -162,6 +159,25 @@ class ServingEvaluator:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._cache_sharding = NamedSharding(self.mesh, P("dp"))
+
+        def strip_points(b):
+            # The serving path never reads the raw crops (SGPN's serving
+            # branch uses only their shapes/masks) — at paper shapes they are
+            # ~2 GB f32 per 16-scene batch, so pinning them per batch for the
+            # evaluator's lifetime would dwarf the caches. Keep 1-point
+            # stand-ins (static rank/channel count preserved for the trace).
+            S, O, _, Co = b.obj_points.shape
+            _, E, _, Cr = b.rel_points.shape
+            return dc.replace(
+                b,
+                obj_points=np.zeros((S, O, 1, Co), np.float32),
+                rel_points=np.zeros((S, E, 1, Cr), np.float32),
+            )
+
+        def to_host(c):
+            return jax.tree_util.tree_map(np.asarray, jax.device_get(c))
+
+        offload_now = offload is True
         resident = 0
         for batch in batches:
             if self.mesh is not None:
@@ -171,25 +187,34 @@ class ServingEvaluator:
                 if batch.num_scenes % dp:
                     batch = batch.pad_scenes(dp)
                 pack = SlotPack.build(batch, shards=dp)
-                batch = shard_batch(batch, self.mesh)
+                full = shard_batch(batch, self.mesh)  # temp: cache build only
                 pack = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, self._cache_sharding), pack
                 )
-                caches = jax.device_put(self._build(batch, pack), self._cache_sharding)
+                caches = jax.device_put(self._build(full, pack), self._cache_sharding)
+                batch = shard_batch(strip_points(batch), self.mesh)
+                del full
             else:
                 pack = SlotPack.build(batch)
-                batch = jax.device_put(batch)
+                full = jax.device_put(batch)  # temp: cache build only
                 pack = jax.device_put(pack)
-                caches = self._build(batch, pack)
-            nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(caches))
-            resident += nbytes
-            self.batches.append([batch, pack, caches, False])
-        if offload == "auto":
-            offload = resident > device_budget_bytes
-        if offload:
-            for entry in self.batches:
-                entry[2] = jax.tree_util.tree_map(np.asarray, jax.device_get(entry[2]))
-                entry[3] = True
+                caches = self._build(full, pack)
+                batch = jax.device_put(strip_points(batch))
+                del full
+            # offload decisions are made per batch, INSIDE the build loop, so
+            # peak device residency never exceeds the budget by more than one
+            # batch's cache — a full val split's grouped planes can't all
+            # live in HBM at once (docstring math)
+            if not offload_now and offload == "auto":
+                resident += sum(x.nbytes for x in jax.tree_util.tree_leaves(caches))
+                if resident > device_budget_bytes:
+                    offload_now = True
+                    for entry in self.batches:
+                        entry[2] = to_host(entry[2])
+                        entry[3] = True
+            if offload_now:
+                caches = to_host(caches)
+            self.batches.append([batch, pack, caches, offload_now])
         self._eval = jax.jit(
             lambda state, b, p, c: trainer.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},

@@ -257,22 +257,33 @@ class Trainer:
     def predict_relations(self, state: TrainState, batches) -> dict[str, list]:
         """The reference predict_step -> scan_relations mapping
         (scene_graph_prediction_model.py:157-177 + main.py:111-115):
-        argmax over relation logits, drop 'none', map slots to object names."""
+        argmax over relation logits, drop 'none', map slots to object names.
+
+        MULTI_REL_OUTPUTS: the head emits independent sigmoid probabilities,
+        so each relation is thresholded at 0.5 per edge (the 3DSSG-lineage
+        multi-label decision PointNetRelClsMulti was built for) — an edge can
+        carry several relations or none; argmax would force exactly one."""
         none_idx = self.vocab.none_index
+        multi = bool(getattr(self.model, "multi_rel_outputs", False))
         scan_relations: dict[str, list] = {}
         for batch in batches:
             rel_logprobs, _ = self.eval_step(state, batch)
-            preds = np.asarray(rel_logprobs).argmax(-1)
+            out = np.asarray(rel_logprobs)
+            preds = None if multi else out.argmax(-1)
             for s, scan_id in enumerate(batch.scan_ids):
                 relations = []
                 names = batch.slot_names[s]
                 em = np.asarray(batch.edge_mask[s])
                 ei = np.asarray(batch.edge_index[s])
                 for e in range(len(em)):
-                    if not em[e] or preds[s, e] == none_idx:
+                    if not em[e]:
                         continue
                     sub = names[ei[e, 0]]
                     obj = names[ei[e, 1]]
-                    relations.append((sub, self.vocab.relation_names[preds[s, e]], obj))
+                    rels = np.nonzero(out[s, e] > 0.5)[0] if multi else [preds[s, e]]
+                    for r in rels:
+                        if r == none_idx:
+                            continue
+                        relations.append((sub, self.vocab.relation_names[r], obj))
                 scan_relations[scan_id] = relations
         return scan_relations

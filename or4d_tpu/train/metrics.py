@@ -102,13 +102,21 @@ class RelationMetricAccumulator:
     def update_batch(self, batch, rel_logprobs: np.ndarray):
         """Accumulate a whole SceneBatch given rel head output (S, E, R).
         Multi-hot gt_rels (MULTI_REL_OUTPUTS) is reduced to single labels for
-        the report: argmax where any relation is set, 'none' otherwise."""
-        preds = np.asarray(rel_logprobs).argmax(-1)
+        the report — SYMMETRICALLY on both sides: GT takes argmax where any
+        relation bit is set and 'none' otherwise, and predictions (sigmoid
+        probabilities in this mode) take argmax where any probability clears
+        0.5 and 'none' otherwise. A plain argmax over the probabilities could
+        never predict 'none' (its bit is never set in training targets), which
+        would zero the class's recall and corrupt macro-F1."""
+        out = np.asarray(rel_logprobs)
         gt = np.asarray(batch.gt_rels)
         if gt.ndim == 3:  # (S, E, R) multi-hot
             none_idx = (self.relation_names.index("none")
                         if "none" in self.relation_names else len(self.relation_names) - 1)
+            preds = np.where(out.max(-1) > 0.5, out.argmax(-1), none_idx)
             gt = np.where(gt.max(-1) > 0.5, gt.argmax(-1), none_idx)
+        else:
+            preds = out.argmax(-1)
         for s, take_idx in enumerate(batch.take_idxs):
             self.update(take_idx, preds[s], gt[s], np.asarray(batch.edge_mask[s]))
 

@@ -71,7 +71,7 @@ def main() -> None:
 
     # SA1-serving alone: sum the SA1 stage outputs of both encoders through
     # the cached path (everything after SA1 skipped)
-    from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
+    from or4d_tpu.models.pointnet2 import SA1_RADII, SAScale, SetAbstractionMSG
 
     def sa1_only(v, c):
         total = jnp.zeros((), jnp.float32)
@@ -79,7 +79,7 @@ def main() -> None:
                                 ("rel_encoder", c[1], model.sa_nsamples[0])):
             sa1 = SetAbstractionMSG(
                 npoint=model.sa_npoints[0],
-                scales=(SAScale(0.1, nss[0], (64, 64)), SAScale(0.2, nss[1], (64, 128))),
+                scales=(SAScale(SA1_RADII[0], nss[0], (64, 64)), SAScale(SA1_RADII[1], nss[1], (64, 128))),
                 dtype=jnp.bfloat16,
             )
             params = {"params": v["params"][enc]["sa1"],

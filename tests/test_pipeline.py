@@ -180,3 +180,16 @@ class TestPhaseFSM:
         (gt_dir / "phase_to_frames_2.json").write_text(json.dumps(gt4))
         reports = evaluate_phase_dirs(gt_dir, pred_dir, pred_stem=stem)
         assert "take_2" not in reports and "test" not in reports
+        # empty GT json ({} — no phases annotated) -> take skipped, not a
+        # ValueError from max() over no ranges
+        (gt_dir / "phase_to_frames_2.json").write_text("{}")
+        (pred_dir / f"{stem}_phase_to_frames_2.json").write_text(json.dumps(pred4))
+        reports = evaluate_phase_dirs(gt_dir, pred_dir, pred_stem=stem)
+        assert "take_2" not in reports
+        # multiple prediction stems without pred_stem -> loud warning (mixing
+        # different models' outputs across takes must not pass silently)
+        import pytest
+
+        (pred_dir / "other_model_phase_to_frames_7.json").write_text(json.dumps(pred7))
+        with pytest.warns(UserWarning, match="multiple prediction stems"):
+            evaluate_phase_dirs(gt_dir, pred_dir)

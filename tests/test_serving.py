@@ -207,3 +207,31 @@ class TestServingCLI:
         offloaded = ServingEvaluator(trainer, batches, offload=True)
         assert offloaded.batches[0][3] and not resident.batches[0][3]
         assert abs(resident.evaluate(state) - offloaded.evaluate(state)) < 1e-9
+
+    def test_auto_offload_mid_build_and_stripped_batches(self):
+        """HBM lifecycle: (a) auto offload fires INSIDE the build loop (peak
+        residency stays bounded while building a split whose caches exceed
+        the budget), and (b) the stored batches carry 1-point stand-ins for
+        the raw crops the serving path never reads — at paper shapes the
+        crops are ~2 GB/batch, far larger than the caches themselves."""
+        from or4d_tpu.config import ExperimentConfig, ModelConfig, TPUConfig
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.serving import ServingEvaluator
+        from or4d_tpu.train.loop import Trainer
+
+        cfg = ExperimentConfig(
+            dataset=TINY,
+            model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8))),
+            tpu=TPUConfig(scene_batch=2, donate_state=False, mesh_data=1, mesh_model=1),
+        )
+        trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        batches = [make_scene_batch(2, seed=s, n_objects=4, ds=TINY, points_per_obj=150)
+                   for s in (8, 9)]
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        ev = ServingEvaluator(trainer, batches, offload="auto", device_budget_bytes=1)
+        assert all(entry[3] for entry in ev.batches)  # every cache host-resident
+        for entry in ev.batches:
+            assert entry[0].obj_points.shape[2] == 1
+            assert entry[0].rel_points.shape[2] == 1
+        f1_cold = trainer.evaluate(state, batches)
+        assert abs(ev.evaluate(state) - f1_cold) < 1e-9

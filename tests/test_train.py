@@ -57,6 +57,30 @@ class TestMetrics:
         assert reports[2].f1[1] == 1.0
         assert 0 < acc.macro_f1 <= 1.0
 
+    def test_multi_hot_reduction_symmetric_none(self):
+        """MULTI_REL_OUTPUTS reduction must be symmetric: sigmoid predictions
+        below the 0.5 threshold on every relation reduce to 'none' exactly
+        like all-zero GT rows — a plain argmax could never predict 'none'
+        (its bit is never set in training targets), zeroing its recall."""
+        from types import SimpleNamespace
+
+        names = list(DEFAULT_VOCAB.relation_names)
+        none_idx = DEFAULT_VOCAB.none_index
+        R = len(names)
+        r_a, r_b = [i for i in range(R) if i != none_idx][:2]
+        gt = np.zeros((1, 3, R), np.float32)
+        gt[0, 0, r_a] = 1.0
+        gt[0, 2, r_b] = 1.0  # edge 1 stays all-zero -> GT 'none'
+        probs = np.zeros((1, 3, R), np.float32)
+        probs[0, 0, r_a] = 0.9  # confident hit
+        probs[0, 1, :] = 0.2    # sub-threshold everywhere -> pred 'none'
+        probs[0, 2, r_b] = 0.4  # sub-threshold -> pred 'none' (a miss)
+        batch = SimpleNamespace(gt_rels=gt, edge_mask=np.ones((1, 3), bool), take_idxs=(0,))
+        acc = RelationMetricAccumulator(names)
+        acc.update_batch(batch, probs)
+        assert acc.take_preds[0] == [r_a, none_idx, none_idx]
+        assert acc.take_gts[0] == [r_a, none_idx, r_b]
+
 
 @pytest.fixture(scope="module")
 def trainer_and_state():
@@ -167,3 +191,40 @@ class TestMultiRelOutputs:
             torch.from_numpy(probs), torch.from_numpy(gt),
             weight=torch.from_numpy(w)))
         assert abs(got - want) < 1e-6
+
+    def test_predict_relations_multilabel_threshold(self):
+        """Infer with MULTI_REL_OUTPUTS: each relation thresholds at 0.5 per
+        edge (3DSSG-lineage multi-label decision) — an edge can emit several
+        relations or none; argmax over sigmoid probs would force exactly one
+        spurious relation onto every valid edge."""
+        from or4d_tpu.config import ModelConfig
+
+        cfg = ExperimentConfig(
+            dataset=TINY, lr=1e-3,
+            model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8)),
+                              multi_rel_outputs=True),
+            tpu=TPUConfig(scene_batch=1, donate_state=False, mesh_data=1, mesh_model=1),
+        )
+        trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        batch = make_scene_batch(1, seed=8, n_objects=3, ds=TINY,
+                                 points_per_obj=150, multi_rel=True)
+        R = DEFAULT_VOCAB.num_relations
+        none_idx = DEFAULT_VOCAB.none_index
+        r_a, r_b = [i for i in range(R) if i != none_idx][:2]
+        E = np.asarray(batch.edge_mask).shape[1]
+        em = np.asarray(batch.edge_mask[0])
+        assert em[0]  # first edge slot is valid for 3 objects
+        probs = np.zeros((1, E, R), np.float32)
+        probs[0, 0, r_a] = 0.9  # edge 0: two co-occurring relations
+        probs[0, 0, r_b] = 0.7
+        probs[0, 0, none_idx] = 0.8  # 'none' is dropped even above threshold
+        # every other edge: sub-threshold everywhere -> no relation emitted
+        trainer.eval_step = lambda state, b: (probs, None)
+        rels = trainer.predict_relations(None, [batch])
+        got = rels[batch.scan_ids[0]]
+        names = batch.slot_names[0]
+        ei = np.asarray(batch.edge_index[0])
+        rn = DEFAULT_VOCAB.relation_names
+        sub, obj = names[ei[0, 0]], names[ei[0, 1]]
+        assert (sub, rn[r_a], obj) in got and (sub, rn[r_b], obj) in got
+        assert len(got) == 2
