@@ -225,6 +225,7 @@ class ServingEvaluator:
     def evaluate(self, state, verbose: bool = False) -> float:
         import numpy as np
 
+        from or4d_tpu.train.loop import _gather_eval
         from or4d_tpu.train.metrics import RelationMetricAccumulator
 
         acc = RelationMetricAccumulator(list(self.trainer.vocab.relation_names))
@@ -234,17 +235,31 @@ class ServingEvaluator:
             from or4d_tpu.parallel.mesh import replicated
 
             state = jax.device_put(state, replicated(self.mesh))
-        for batch, pack, caches, offloaded in self.batches:
+
+        def dispatch(entry):
+            batch, pack, caches, offloaded = entry
             if offloaded:
                 caches = (
                     jax.device_put(caches, self._cache_sharding)
                     if self._cache_sharding is not None
                     else jax.device_put(caches)
                 )
-            rel_logprobs = self._eval(state, batch, pack, caches)
-            from or4d_tpu.train.loop import _gather_eval
+            return batch, self._eval(state, batch, pack, caches)
 
-            acc.update_batch(batch, np.asarray(_gather_eval(rel_logprobs)))
+        # one-batch lookahead: jax dispatch is async, so issuing batch i+1's
+        # cache upload + eval BEFORE pulling batch i's logits overlaps device
+        # compute/transfers with the (slow) host pull, while keeping at most
+        # TWO batches' caches device-resident (the offload bound still holds)
+        pending = None
+        for entry in self.batches:
+            current = dispatch(entry)
+            if pending is not None:
+                batch, rel = pending
+                acc.update_batch(batch, np.asarray(_gather_eval(rel)))
+            pending = current
+        if pending is not None:
+            batch, rel = pending
+            acc.update_batch(batch, np.asarray(_gather_eval(rel)))
         if verbose:
             for take, report in acc.per_take_reports().items():
                 print(f"\nTake {take}\n{report.to_text()}")
