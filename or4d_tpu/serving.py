@@ -246,20 +246,17 @@ class ServingEvaluator:
                 )
             return batch, self._eval(state, batch, pack, caches)
 
-        # one-batch lookahead: jax dispatch is async, so issuing batch i+1's
-        # cache upload + eval BEFORE pulling batch i's logits overlaps device
-        # compute/transfers with the (slow) host pull, while keeping at most
-        # TWO batches' caches device-resident (the offload bound still holds)
-        pending = None
-        for entry in self.batches:
-            current = dispatch(entry)
-            if pending is not None:
-                batch, rel = pending
-                acc.update_batch(batch, np.asarray(_gather_eval(rel)))
-            pending = current
-        if pending is not None:
-            batch, rel = pending
-            acc.update_batch(batch, np.asarray(_gather_eval(rel)))
+        # one-batch lookahead (utils/stream.py): batch i+1's cache upload +
+        # eval are dispatched BEFORE batch i's logits are pulled, overlapping
+        # device compute/transfers with the (slow) host pull while keeping at
+        # most TWO batches' caches device-resident (the offload bound holds)
+        from or4d_tpu.utils.stream import lookahead
+
+        lookahead(
+            self.batches,
+            dispatch,
+            lambda pair: acc.update_batch(pair[0], np.asarray(_gather_eval(pair[1]))),
+        )
         if verbose:
             for take, report in acc.per_take_reports().items():
                 print(f"\nTake {take}\n{report.to_text()}")

@@ -244,17 +244,16 @@ class Trainer:
 
     def evaluate(self, state: TrainState, batches, verbose: bool = False) -> float:
         acc = RelationMetricAccumulator(list(self.vocab.relation_names))
-        # one-batch lookahead: eval_step dispatch is async, so issuing batch
-        # i+1's upload + forward BEFORE pulling batch i's logits overlaps
+        # one-batch lookahead (utils/stream.py): batch i+1's upload + forward
+        # are dispatched BEFORE batch i's logits are pulled, overlapping
         # device compute with the (slow) host transfer
-        pending = None
-        for batch in batches:
-            current = (batch, self.eval_step(state, batch)[0])
-            if pending is not None:
-                acc.update_batch(pending[0], np.asarray(pending[1]))
-            pending = current
-        if pending is not None:
-            acc.update_batch(pending[0], np.asarray(pending[1]))
+        from or4d_tpu.utils.stream import lookahead
+
+        lookahead(
+            batches,
+            lambda batch: (batch, self.eval_step(state, batch)[0]),
+            lambda pair: acc.update_batch(pair[0], np.asarray(pair[1])),
+        )
         if verbose:
             for take, report in acc.per_take_reports().items():
                 print(f"\nTake {take}\n{report.to_text()}")
