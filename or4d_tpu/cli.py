@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serving", action="store_true",
                    help="evaluate: precompute per-batch SA1 geometry once and run the "
                         "serving fast path (or4d_tpu/serving.py; fixed eval sets)")
+    p.add_argument("--serving-cache-dir", default=None,
+                   help="persist the serving geometry caches here (content-keyed "
+                        "npz per batch) so serving restarts skip the precompute")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--limit", type=int, default=None, help="limit scans (smoke runs)")
@@ -575,7 +578,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.serving:
             from or4d_tpu.serving import ServingEvaluator
 
-            ev = ServingEvaluator(trainer, eval_ds.batches(batch_size, limit=args.limit))
+            ev = ServingEvaluator(trainer, eval_ds.batches(batch_size, limit=args.limit),
+                                  cache_dir=args.serving_cache_dir)
             f1 = ev.evaluate(state, verbose=True)
         else:
             # verbose=True: per-take classification reports, the reference's

@@ -117,6 +117,78 @@ def build_sgpn_sa1_caches(model, batch, pack=None) -> tuple[SA1Cache, SA1Cache]:
     )
 
 
+def _cache_key(batch, dp: int, model, dtype) -> str:
+    """Content key for a persisted serving cache: scan identity + padded
+    shapes + validity masks + the geometry config (npoint/nsamples/radii are
+    fixed per model) + shard count + storage dtype. Crop CONTENT is assumed
+    to be a deterministic function of the scan ids (true for the
+    non-augmented dataset pipeline: data/prep.py is seed-free at eval) — a
+    changed prep recipe needs a fresh cache_dir."""
+    import hashlib
+
+    import numpy as np
+
+    from or4d_tpu.models.pointnet2 import SA1_RADII
+
+    h = hashlib.sha256()
+    h.update(repr((
+        tuple(batch.scan_ids), tuple(batch.take_idxs),
+        tuple(batch.obj_points.shape), tuple(batch.rel_points.shape), dp,
+        tuple(model.sa_npoints), tuple(tuple(s) for s in model.sa_nsamples),
+        tuple(SA1_RADII), str(np.dtype(dtype)),
+    )).encode())
+    h.update(np.ascontiguousarray(np.asarray(batch.obj_mask)).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(batch.edge_mask)).tobytes())
+    return h.hexdigest()[:24]
+
+
+def _save_caches(path, caches) -> None:
+    """Persist an (obj, rel) SA1Cache pair as one npz. bfloat16 planes are
+    stored as uint16 bit patterns (numpy cannot round-trip ml_dtypes arrays
+    through np.save) with the true dtype recorded in a JSON meta entry."""
+    import json
+
+    import ml_dtypes
+    import numpy as np
+
+    arrays, meta = {}, {}
+    for prefix, c in (("obj", caches[0]), ("rel", caches[1])):
+        arrays[f"{prefix}_new_xyz"] = np.asarray(c.new_xyz)
+        meta[f"{prefix}_n"] = len(c.grouped)
+        for i, g in enumerate(c.grouped):
+            g = np.asarray(g)
+            if g.dtype == ml_dtypes.bfloat16:
+                arrays[f"{prefix}_g{i}"] = g.view(np.uint16)
+                meta[f"{prefix}_g{i}"] = "bfloat16"
+            else:
+                arrays[f"{prefix}_g{i}"] = g
+                meta[f"{prefix}_g{i}"] = str(g.dtype)
+    arrays["meta"] = np.array(json.dumps(meta))
+    np.savez_compressed(path, **arrays)
+
+
+def _load_caches(path):
+    """Inverse of :func:`_save_caches`; returns host-resident caches."""
+    import json
+
+    import ml_dtypes
+    import numpy as np
+
+    z = np.load(path)
+    meta = json.loads(str(z["meta"]))
+
+    def one(prefix):
+        grouped = []
+        for i in range(int(meta[f"{prefix}_n"])):
+            g = z[f"{prefix}_g{i}"]
+            if meta[f"{prefix}_g{i}"] == "bfloat16":
+                g = g.view(ml_dtypes.bfloat16)
+            grouped.append(g)
+        return SA1Cache(new_xyz=z[f"{prefix}_new_xyz"], grouped=tuple(grouped))
+
+    return one("obj"), one("rel")
+
+
 class ServingEvaluator:
     """Repeated evaluation over a fixed batch list (the reference's
     validate-every-epoch loop): geometry caches are built once, then every
@@ -128,6 +200,10 @@ class ServingEvaluator:
     ``device_budget_bytes`` — a full val split's grouped planes (~0.9 GB per
     16-scene batch at paper shapes) cannot all live in HBM at once.
 
+    ``cache_dir``: persist each batch's geometry cache to disk (one npz per
+    batch, content-keyed — see :func:`_cache_key`); a serving restart then
+    skips the whole FPS/ball-query precompute and loads the planes instead.
+
     Multi-chip: on a dp-only mesh (trainer.cfg.tpu.mesh_data > 1) the batch,
     per-shard pack, and cache rows are sharded over 'dp' — cache rows are
     D*cap with per-shard-local indices, so every SA1 matmul stays on its
@@ -136,12 +212,17 @@ class ServingEvaluator:
     is dp-only (train/loop.py:_pack_for)."""
 
     def __init__(self, trainer, batches, offload: bool | str = "auto",
-                 device_budget_bytes: int = 4 << 30):
+                 device_budget_bytes: int = 4 << 30, cache_dir=None):
         import dataclasses as dc
+        from pathlib import Path
 
         import numpy as np
 
         from or4d_tpu.data.scene_batch import SlotPack
+
+        if cache_dir is not None:
+            cache_dir = Path(cache_dir)
+            cache_dir.mkdir(parents=True, exist_ok=True)
 
         self.trainer = trainer
         self.batches = []
@@ -177,30 +258,53 @@ class ServingEvaluator:
         def to_host(c):
             return jax.tree_util.tree_map(np.asarray, jax.device_get(c))
 
+        def place(c):
+            return (
+                jax.device_put(c, self._cache_sharding)
+                if self._cache_sharding is not None
+                else jax.device_put(c)
+            )
+
         offload_now = offload is True
         resident = 0
         for batch in batches:
+            dp = self.mesh.shape["dp"] if self.mesh is not None else 1
+            if self.mesh is not None and batch.num_scenes % dp:
+                batch = batch.pad_scenes(dp)
+            cache_file = (
+                cache_dir / f"sa1_{_cache_key(batch, dp, trainer.model, trainer.model.compute_dtype)}.npz"
+                if cache_dir is not None
+                else None
+            )
             if self.mesh is not None:
                 from or4d_tpu.parallel.mesh import shard_batch
 
-                dp = self.mesh.shape["dp"]
-                if batch.num_scenes % dp:
-                    batch = batch.pad_scenes(dp)
                 pack = SlotPack.build(batch, shards=dp)
-                full = shard_batch(batch, self.mesh)  # temp: cache build only
                 pack = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, self._cache_sharding), pack
                 )
-                caches = jax.device_put(self._build(full, pack), self._cache_sharding)
+                if cache_file is not None and cache_file.exists():
+                    caches = _load_caches(cache_file)  # host; placed below
+                else:
+                    full = shard_batch(batch, self.mesh)  # temp: cache build only
+                    caches = jax.device_put(self._build(full, pack), self._cache_sharding)
+                    del full
+                    if cache_file is not None:
+                        caches = to_host(caches)
+                        _save_caches(cache_file, caches)
                 batch = shard_batch(strip_points(batch), self.mesh)
-                del full
             else:
-                pack = SlotPack.build(batch)
-                full = jax.device_put(batch)  # temp: cache build only
-                pack = jax.device_put(pack)
-                caches = self._build(full, pack)
+                pack = jax.device_put(SlotPack.build(batch))
+                if cache_file is not None and cache_file.exists():
+                    caches = _load_caches(cache_file)  # host; placed below
+                else:
+                    full = jax.device_put(batch)  # temp: cache build only
+                    caches = self._build(full, pack)
+                    del full
+                    if cache_file is not None:
+                        caches = to_host(caches)
+                        _save_caches(cache_file, caches)
                 batch = jax.device_put(strip_points(batch))
-                del full
             # offload decisions are made per batch, INSIDE the build loop, so
             # peak device residency never exceeds the budget by more than one
             # batch's cache — a full val split's grouped planes can't all
@@ -214,6 +318,8 @@ class ServingEvaluator:
                         entry[3] = True
             if offload_now:
                 caches = to_host(caches)
+            else:
+                caches = place(caches)  # no-op for already-placed device trees
             self.batches.append([batch, pack, caches, offload_now])
         self._eval = jax.jit(
             lambda state, b, p, c: trainer.model.apply(

@@ -208,6 +208,49 @@ class TestServingCLI:
         assert offloaded.batches[0][3] and not resident.batches[0][3]
         assert abs(resident.evaluate(state) - offloaded.evaluate(state)) < 1e-9
 
+    def test_persisted_cache_roundtrip(self, tmp_path, monkeypatch):
+        """cache_dir: the first evaluator persists content-keyed npz caches
+        (bf16 planes round-trip through uint16 views); a second construction
+        LOADS them — the geometry build never runs — and evaluates to the
+        same macro-F1."""
+        from or4d_tpu import serving as srv
+        from or4d_tpu.config import ExperimentConfig, ModelConfig, TPUConfig
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.serving import ServingEvaluator
+        from or4d_tpu.train.loop import Trainer
+
+        cfg = ExperimentConfig(
+            dataset=TINY,
+            model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8))),
+            tpu=TPUConfig(scene_batch=2, donate_state=False, mesh_data=1, mesh_model=1),
+        )
+        trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        batches = [make_scene_batch(2, seed=8, n_objects=4, ds=TINY, points_per_obj=150)]
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        f1_first = ServingEvaluator(trainer, batches, cache_dir=tmp_path).evaluate(state)
+        files = sorted(tmp_path.glob("sa1_*.npz"))
+        assert len(files) == 1
+
+        calls = []
+        orig = srv.build_sgpn_sa1_caches
+        monkeypatch.setattr(srv, "build_sgpn_sa1_caches",
+                            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        f1_loaded = ServingEvaluator(trainer, batches, cache_dir=tmp_path).evaluate(state)
+        assert calls == []  # loaded from disk, never rebuilt
+        assert abs(f1_loaded - f1_first) < 1e-9
+
+        # bf16 planes round-trip bit-exactly through the uint16 view
+        import jax.numpy as jnp
+
+        from or4d_tpu.serving import SA1Cache, _load_caches, _save_caches
+
+        bf = np.asarray(jnp.arange(24, dtype=jnp.float32).reshape(1, 2, 3, 4).astype(jnp.bfloat16))
+        c = SA1Cache(new_xyz=np.zeros((1, 2, 3), np.float32), grouped=(bf,))
+        _save_caches(tmp_path / "bf16.npz", (c, c))
+        o, _r = _load_caches(tmp_path / "bf16.npz")
+        assert str(o.grouped[0].dtype) == "bfloat16"
+        np.testing.assert_array_equal(o.grouped[0].view(np.uint16), bf.view(np.uint16))
+
     def test_auto_offload_mid_build_and_stripped_batches(self):
         """HBM lifecycle: (a) auto offload fires INSIDE the build loop (peak
         residency stays bounded while building a split whose caches exceed
