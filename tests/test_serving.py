@@ -251,6 +251,24 @@ class TestServingCLI:
         assert str(o.grouped[0].dtype) == "bfloat16"
         np.testing.assert_array_equal(o.grouped[0].view(np.uint16), bf.view(np.uint16))
 
+        # the content key must discriminate anything that changes cache rows:
+        # shard count, validity masks, scan identity (a stale hit would
+        # silently serve wrong geometry)
+        import dataclasses as dc
+
+        from or4d_tpu.serving import _cache_key
+
+        b = batches[0]
+        k = _cache_key(b, 1, trainer.model, np.float32)
+        assert _cache_key(b, 2, trainer.model, np.float32) != k
+        em = np.asarray(b.edge_mask).copy()
+        em[0, 0] = ~em[0, 0]
+        assert _cache_key(dc.replace(b, edge_mask=em), 1, trainer.model, np.float32) != k
+        assert _cache_key(
+            dc.replace(b, scan_ids=("x",) + tuple(b.scan_ids[1:])), 1, trainer.model, np.float32
+        ) != k
+        assert _cache_key(b, 1, trainer.model, np.float32) == k  # deterministic
+
     def test_auto_offload_mid_build_and_stripped_batches(self):
         """HBM lifecycle: (a) auto offload fires INSIDE the build loop (peak
         residency stays bounded while building a split whose caches exceed
