@@ -53,6 +53,11 @@ def main() -> None:
              "(or4d_tpu/serving.py) — reported as a SEPARATE metric "
              "(sg_serving_scenes_per_sec), not the cold-path headline",
     )
+    ap.add_argument(
+        "--serving-fused", action="store_true",
+        help="serving: fused VMEM kernel for the cached-plane SA1 chain "
+             "(ops/pallas_serving_mlp.py; exact A/B knob)",
+    )
     args = ap.parse_args()
     import jax
 
@@ -80,7 +85,7 @@ def main() -> None:
     model = SGPN(
         num_classes=12, num_relations=15, compute_dtype=jnp.bfloat16,
         paired_sa2=args.paired_sa2, per_scale_sort=args.per_scale_sort,
-        eval_subtile=args.eval_subtile,
+        eval_subtile=args.eval_subtile, serving_fused=args.serving_fused,
     )
     variables = jax.jit(
         lambda b: model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, b, train=False)
@@ -174,6 +179,8 @@ def main() -> None:
         path = "train+packed_chain" if args.packed_chain else "train"
     elif args.serving:
         path = "serving+sa1_cache"
+        if args.serving_fused:
+            path += "+fused_kernel"
     else:
         path = "eval"
         path += "+paired" if paired else "+UNPAIRED_FALLBACK"

@@ -156,6 +156,9 @@ class TPUConfig:
     per_scale_sort: bool = False
     # two-gate sub-tile rows for the fused eval kernels (exact tuning knob)
     eval_subtile: int = 32
+    # fused serving-SA1 kernel for cached-plane eval (exact; opt-in until
+    # measured — SetAbstractionMSG.serving_fused)
+    serving_fused: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

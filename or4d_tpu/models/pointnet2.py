@@ -195,6 +195,12 @@ class SetAbstractionMSG(nn.Module):
     # the second argsort. Exact (order never affects results); opt-in until
     # measured on-chip.
     per_scale_sort: bool = False
+    # serving fast path: run the cached-plane MLP chain + slot max in one
+    # VMEM kernel instead of the XLA chain, which materializes multi-GB
+    # grouped intermediates in HBM (ops/pallas_serving_mlp.py). Exact (same
+    # folded-affine arithmetic as the fused eval kernel; the slot max is
+    # associative); opt-in until measured on-chip.
+    serving_fused: bool = False
 
     def _v4_call(self, v4_fn, scale_spec, xyz, new_xyz, params, bounds):
         """Dispatch the fused v4 eval kernel: one multi-scale call (shared
@@ -221,12 +227,36 @@ class SetAbstractionMSG(nn.Module):
 
         if cache is not None:
             # serving: FPS/ball query precomputed (or4d_tpu/serving.py) —
-            # only the weights-dependent MLP chain runs, as plain XLA matmuls
+            # only the weights-dependent MLP chain runs
             mlps_c = [
                 DelayedSharedMLP(sc.mlp, radius=sc.radius, nsample=sc.nsample,
                                  dtype=self.dtype, name=f"mlp_{si}")
                 for si, sc in enumerate(self.scales)
             ]
+            kernel_ok = (
+                self.serving_fused
+                and not train
+                and (jax.default_backend() == "tpu" or self.kernel_interpret)
+                and all(len(sc.mlp) == 2 for sc in self.scales)
+            )
+            if kernel_ok:
+                from or4d_tpu.ops.pallas_serving_mlp import serving_sa1_mlp_pallas
+
+                outs = []
+                for m, g in zip(mlps_c, cache.grouped):
+                    C0 = g.shape[-1]
+                    W0 = m.dense_layers[0](jnp.eye(C0, dtype=self.dtype))
+                    pad_q = jnp.concatenate(
+                        [cache.new_xyz.astype(self.dtype),
+                         jnp.zeros(cache.new_xyz.shape[:-1] + (C0 - 3,), self.dtype)],
+                        axis=-1,
+                    )
+                    Bq = m.dense_layers[0](pad_q)  # (B, M, C1)
+                    a0, b0, W1, a1, b1 = m.fused_eval_params()
+                    outs.append(serving_sa1_mlp_pallas(
+                        g, Bq, W0, a0, b0, W1, a1, b1, self.kernel_interpret
+                    ))
+                return cache.new_xyz, jnp.concatenate(outs, axis=-1)
             outs = [
                 jnp.max(m.from_grouped(g, cache.new_xyz, mask=mask, train=train), axis=2)
                 for m, g in zip(mlps_c, cache.grouped)
@@ -460,6 +490,9 @@ class PointNet2MSGEncoder(nn.Module):
     per_scale_sort: bool = False
     # two-gate sub-tile rows (exact; tuning knob — see SetAbstractionMSG)
     eval_subtile: int = 32
+    # fused serving-SA1 kernel (exact; opt-in until measured — see
+    # SetAbstractionMSG.serving_fused)
+    serving_fused: bool = False
 
     @nn.compact
     def __call__(self, pc, mask=None, train: bool = True, paired: bool = False, sa1_cache=None):
@@ -477,7 +510,7 @@ class PointNet2MSGEncoder(nn.Module):
         standard encoder runs — same results, no sharing."""
         knobs = dict(fused_mode=self.fused_mode, kernel_interpret=self.kernel_interpret,
                      packed_chain=self.packed_chain, per_scale_sort=self.per_scale_sort,
-                     eval_subtile=self.eval_subtile)
+                     eval_subtile=self.eval_subtile, serving_fused=self.serving_fused)
         sa1 = SetAbstractionMSG(
             npoint=self.sa_npoints[0],
             scales=(

@@ -73,6 +73,9 @@ class SGPN(nn.Module):
     per_scale_sort: bool = False
     # two-gate sub-tile rows for the fused eval kernels (exact tuning knob)
     eval_subtile: int = 32
+    # fused serving-SA1 kernel for cached-plane eval (exact; opt-in until
+    # measured — see SetAbstractionMSG.serving_fused)
+    serving_fused: bool = False
     # MULTI_REL_OUTPUTS (reference network_PointNet.py:274-318
     # PointNetRelClsMulti): sigmoid multi-label relation head — rel_logprobs
     # then carries per-relation probabilities, trained with weighted BCE
@@ -97,6 +100,7 @@ class SGPN(nn.Module):
             packed_chain=cfg.tpu.packed_chain,
             per_scale_sort=cfg.tpu.per_scale_sort,
             eval_subtile=cfg.tpu.eval_subtile,
+            serving_fused=cfg.tpu.serving_fused,
             multi_rel_outputs=cfg.model.multi_rel_outputs,
         )
 
@@ -167,7 +171,8 @@ class SGPN(nn.Module):
 
         enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples,
                    dtype=self.compute_dtype, packed_chain=self.packed_chain,
-                   per_scale_sort=self.per_scale_sort, eval_subtile=self.eval_subtile)
+                   per_scale_sort=self.per_scale_sort, eval_subtile=self.eval_subtile,
+                   serving_fused=self.serving_fused)
         obj_cache, rel_cache = sa1_caches if sa1_caches is not None else (None, None)
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
             obj_flat, mask=obj_rows_mask, train=train, sa1_cache=obj_cache

@@ -47,6 +47,7 @@ run python bench.py --serving --scenes 32
 run python bench.py --serving --scenes 64
 # 6. A/B knobs (exact, opt-in; last so a compile failure cannot cost the
 #    main numbers): SA2 pair sharing, solo-sorted per-scale kernels
+run python bench.py --serving --scenes 16 --serving-fused
 run python bench.py --scenes 16 --paired-sa2
 run python bench.py --scenes 16 --per-scale-sort
 run python bench.py --scenes 16 --per-scale-sort --paired-sa2
