@@ -208,6 +208,15 @@ class TestServingFusedKernel:
         want = o.max(axis=2)
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
 
+        # production dtypes: bf16 planes/kernels, f32 affines — same chain
+        # within bf16 rounding
+        got_bf = np.asarray(serving_sa1_mlp_pallas(
+            jnp.asarray(g).astype(jnp.bfloat16), jnp.asarray(Bq),
+            jnp.asarray(W0).astype(jnp.bfloat16), jnp.asarray(a0), jnp.asarray(b0),
+            jnp.asarray(W1).astype(jnp.bfloat16), jnp.asarray(a1), jnp.asarray(b1), True
+        ), dtype=np.float32)
+        np.testing.assert_allclose(got_bf, want, rtol=0.1, atol=0.5)
+
 
 class TestServingCLI:
     def test_evaluate_serving_cli(self, tmp_path, capsys):
