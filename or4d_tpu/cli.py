@@ -62,7 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default=None, help="infer/evaluate split (default: val for evaluate, test for infer)")
     p.add_argument("--serving", action="store_true",
                    help="evaluate: precompute per-batch SA1 geometry once and run the "
-                        "serving fast path (or4d_tpu/serving.py; fixed eval sets)")
+                        "serving fast path (or4d_tpu/serving.py; fixed eval sets). "
+                        "train: run the per-epoch validation through the same cached "
+                        "geometry (built once for the whole fit)")
     p.add_argument("--serving-cache-dir", default=None,
                    help="persist the serving geometry caches here (content-keyed "
                         "npz per batch) so serving restarts skip the precompute")
@@ -557,8 +559,10 @@ def main(argv: list[str] | None = None) -> int:
         return state
 
     if args.mode == "train":
-        # val batches only feed eval_step -> pair-shared crops (paired path)
-        val_ds = ORDataset(cfg, "val", vocab, pair_shared=True, **ds_kw)
+        # val batches only feed eval_step -> pair-shared crops (paired path);
+        # with --serving the per-epoch validation instead goes through a
+        # ServingEvaluator built once (unpaired SA1 geometry cached)
+        val_ds = ORDataset(cfg, "val", vocab, pair_shared=not args.serving, **ds_kw)
         state = init_or_restore()
         state, history = trainer.fit(
             state,
@@ -566,6 +570,7 @@ def main(argv: list[str] | None = None) -> int:
             val_batches=list(val_ds.batches(batch_size, limit=args.limit)),
             epochs=args.epochs,
             checkpoint_dir=args.checkpoint_dir,
+            serving_val=args.serving,
         )
         print(json.dumps(history[-1]))
     elif args.mode == "evaluate":

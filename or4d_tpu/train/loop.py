@@ -201,9 +201,16 @@ class Trainer:
         log_every: int = 100,
         checkpoint_dir: str | None = None,
         log_dir: str | None = None,
+        serving_val: bool = False,
     ):
         """Epoch loop with per-take metric accumulation (reference
-        training_epoch_end/validation_epoch_end)."""
+        training_epoch_end/validation_epoch_end).
+
+        ``serving_val``: run the per-epoch validation through a
+        ServingEvaluator built ONCE before the loop — the val split's
+        FPS/ball-query geometry is weights-independent, so the reference's
+        validate-every-epoch pattern (main.py:62-66) pays it a single time
+        instead of every epoch (or4d_tpu/serving.py)."""
         from or4d_tpu.train import checkpoint as ckpt
 
         logger = None
@@ -211,6 +218,12 @@ class Trainer:
             from or4d_tpu.utils.logging import MetricsLogger
 
             logger = MetricsLogger(log_dir, name=self.cfg.name)
+        server = None
+        if serving_val and val_batches is not None:
+            from or4d_tpu.serving import ServingEvaluator
+
+            val_batches = list(val_batches)
+            server = ServingEvaluator(self, val_batches)
         epochs = epochs or self.cfg.max_epochs
         rng = rng if rng is not None else jax.random.key(self.cfg.seed)
         history = []
@@ -229,7 +242,10 @@ class Trainer:
             train_f1 = acc.macro_f1
             record = {"epoch": epoch, "train_loss": float(np.mean([float(l) for l in losses])), "train_macro_f1": train_f1}
             if val_batches is not None:
-                record["val_macro_f1"] = self.evaluate(state, val_batches)
+                record["val_macro_f1"] = (
+                    server.evaluate(state) if server is not None
+                    else self.evaluate(state, val_batches)
+                )
             history.append(record)
             print(f"epoch {epoch}: {record}")
             if logger:

@@ -161,6 +161,34 @@ class TestShardedServing:
             ServingEvaluator(tr, [])
 
 
+class TestServingVal:
+    def test_fit_serving_val_matches_cold_val(self):
+        """fit(serving_val=True): the per-epoch validation goes through a
+        ServingEvaluator built once; with identical seeds/batches the
+        training trajectory is unchanged, so val_macro_f1 must match the
+        cold-path fit exactly."""
+        from or4d_tpu.config import ExperimentConfig, ModelConfig, TPUConfig
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.train.loop import Trainer
+
+        cfg = ExperimentConfig(
+            dataset=TINY,
+            model=ModelConfig(sa_npoints=(32, 16), sa_nsamples=((4, 8), (8, 8))),
+            tpu=TPUConfig(scene_batch=2, donate_state=False, mesh_data=1, mesh_model=1),
+        )
+        train_b = [make_scene_batch(2, seed=3, n_objects=4, ds=TINY, points_per_obj=150)]
+        val_b = [make_scene_batch(2, seed=8, n_objects=4, ds=TINY, points_per_obj=150)]
+
+        def run(serving_val):
+            tr = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+            state = tr.init_state(jax.random.key(0), train_b[0])
+            _, hist = tr.fit(state, train_b, val_batches=val_b, epochs=1,
+                             rng=jax.random.key(1), log_every=0, serving_val=serving_val)
+            return hist[-1]["val_macro_f1"]
+
+        assert abs(run(True) - run(False)) < 1e-9
+
+
 class TestServingFusedKernel:
     def test_fused_kernel_matches_xla_chain(self):
         """serving_fused (interpret mode) must reproduce the XLA
