@@ -11,7 +11,13 @@ execution.
 """
 
 import argparse
+import os
+import sys
 import time
+from pathlib import Path
+
+os.chdir(Path(__file__).resolve().parent.parent)  # axon plugin needs cwd=/root/repo
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
