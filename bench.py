@@ -42,6 +42,11 @@ def main() -> None:
         help="lane-pack C=64 grouped planes through the train BN/MLP chain (exact; A/B knob)",
     )
     ap.add_argument(
+        "--packed-slots", action="store_true",
+        help="kernel-emitted slot-pair lane packing for the train chain "
+             "(exact; A/B knob — the no-relayout successor to --packed-chain)",
+    )
+    ap.add_argument(
         "--eval-subtile", type=int, default=32,
         help="two-gate sub-tile rows in the fused eval kernels (exact tuning knob)",
     )
@@ -117,7 +122,8 @@ def main() -> None:
         from or4d_tpu.train.loop import Trainer
 
         cfg = ExperimentConfig(tpu=TPUConfig(scene_batch=S, donate_state=False, compute_dtype="bfloat16",
-                                             packed_chain=args.packed_chain))
+                                             packed_chain=args.packed_chain,
+                                             packed_slots=args.packed_slots))
         trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
         state = trainer.init_state(jax.random.key(0), batch)
         key = jax.random.key(1)
@@ -179,7 +185,11 @@ def main() -> None:
     # path provenance: which kernel configuration actually produced the
     # number (a silent fallback must be visible in the parsed JSON)
     if args.train:
-        path = "train+packed_chain" if args.packed_chain else "train"
+        path = "train"
+        if args.packed_chain:
+            path += "+packed_chain"
+        if args.packed_slots:
+            path += "+packed_slots"
     elif args.serving:
         path = "serving+sa1_cache"
         if args.serving_fused:

@@ -151,6 +151,9 @@ class TPUConfig:
     # lane-pack C<128 grouped planes through the train BN/MLP chain (exact;
     # opt-in until measured on-chip — SetAbstractionMSG.packed_chain)
     packed_chain: bool = False
+    # kernel-emitted slot-pair lane packing for the train-path chain (exact;
+    # opt-in until measured on-chip — SetAbstractionMSG.packed_slots)
+    packed_slots: bool = False
     # solo-sorted per-scale eval kernels (exact; opt-in until measured —
     # SetAbstractionMSG.per_scale_sort)
     per_scale_sort: bool = False

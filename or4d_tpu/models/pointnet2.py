@@ -92,7 +92,8 @@ class DelayedSharedMLP(nn.Module):
         Bq = self.dense_layers[0](pad_q)  # (B, M, C1)
         return A, Bq
 
-    def post(self, gathered, Bq, mask=None, train: bool = True, slot_major: bool = False, packed: int = 1):
+    def post(self, gathered, Bq, mask=None, train: bool = True, slot_major: bool = False, packed: int = 1,
+             slot_packed: bool = False):
         """BN/ReLU + the remaining conv layers on the grouped tensor —
         (B, M, ns, C), or (B, ns, M, C) when ``slot_major`` (the gated train
         kernel's native layout; BN statistics are axis-order invariant).
@@ -103,8 +104,17 @@ class DelayedSharedMLP(nn.Module):
         plane otherwise wastes half its HBM tiles on lane padding). BN folds
         lane statistics back per channel; each conv applies
         blockdiag(W, ..., W) — exact up to float reassociation. The caller
-        unpacks after pooling. ``Bq`` stays (B, M, C)."""
-        if packed > 1:
+        unpacks after pooling. ``Bq`` stays (B, M, C).
+
+        ``slot_packed`` (with packed > 1): the lane groups are SLOT pairs —
+        (B, ns/packed, M, packed*C), the gated kernel's pack_slots layout —
+        so Bq tiles across the lane groups instead of folding M rows; BN
+        fold/blockdiag apply are identical (same multiset per channel)."""
+        if packed > 1 and slot_packed:
+            assert slot_major, "packed chain is defined for the slot-major layout"
+            Bqp = jnp.concatenate([Bq] * packed, axis=-1)  # (B, M, packed*C)
+            h = gathered - Bqp[:, None, :, :]
+        elif packed > 1:
             assert slot_major, "packed chain is defined for the slot-major layout"
             B, M, C = Bq.shape
             Bqp = Bq.reshape(B, M // packed, packed * C)
@@ -187,7 +197,14 @@ class SetAbstractionMSG(nn.Module):
     # BN/MLP chain so every chain tensor rides full 128-lane HBM tiles (a
     # 64-wide bf16 plane otherwise wastes half its tiles on lane padding,
     # PERF.md round-4). Exact up to BN reassociation; opt-in until measured.
+    # MEASURED 2026-08-18: loses 10% at S=8 — the XLA repack relayout costs
+    # more than the padding traffic it saves. Superseded by packed_slots.
     packed_chain: bool = False
+    # packed_slots: the gated train kernel EMITS slot pairs lane-packed —
+    # (B, ns/2, M, 2C) — so the C=64 chain rides full 128-lane tiles with NO
+    # XLA relayout (the repack that sank packed_chain). Exact up to BN
+    # reassociation; opt-in until measured on-chip.
+    packed_slots: bool = False
     # run each eval scale through its OWN v4 kernel call with a solo-optimal
     # query sort: the shared two-scale composite order costs scale 1 ~55% of
     # ungated work vs its ~40% solo optimum (PERF.md round-3). d2 is already
@@ -201,6 +218,26 @@ class SetAbstractionMSG(nn.Module):
     # folded-affine arithmetic as the fused eval kernel; the slot max is
     # associative); opt-in until measured on-chip.
     serving_fused: bool = False
+
+    @staticmethod
+    def _pad_pre_inputs(xyz, features):
+        """Zero-pad the support axis to a _CHUNK multiple for `pre` so the
+        layer-1 plane A is BORN at the eval kernels' padded width: padding A
+        afterwards makes XLA materialize copy+pad HLO temps of the multi-GB
+        plane (3x4.5G at S=64 — the 2026-08-18 HBM OOM). dense(0)=0 rows are
+        exactly what the kernel pad wrote, and poison support coords keep
+        them unselectable, so results are bit-identical. Only the `pre`
+        input is padded — the kernel still receives the ORIGINAL xyz (its
+        own pad uses far-away coords; zero-padded xyz would sit at the
+        origin, inside zero-mean crops' query radius)."""
+        from or4d_tpu.ops.pallas_ball_query import _CHUNK
+
+        npad = (-xyz.shape[1]) % _CHUNK
+        if npad == 0:
+            return xyz, features
+        xyz_p = jnp.pad(xyz, ((0, 0), (0, npad), (0, 0)))
+        feat_p = None if features is None else jnp.pad(features, ((0, 0), (0, npad), (0, 0)))
+        return xyz_p, feat_p
 
     def _v4_call(self, v4_fn, scale_spec, xyz, new_xyz, params, bounds):
         """Dispatch the fused v4 eval kernel: one multi-scale call (shared
@@ -316,10 +353,12 @@ class SetAbstractionMSG(nn.Module):
             )
             if not kernel_ok:
                 raise ValueError("paired SA requires the fused eval kernel path")
+            xyz_pre, feat_pre = self._pad_pre_inputs(xyz, features)
+            _, feat_alt_pre = self._pad_pre_inputs(xyz, features_alt)
             params = []
             for m in mlps:
-                A, Bq = m.pre(xyz, features, new_xyz)
-                A_alt, _ = m.pre(xyz, features_alt, new_xyz)
+                A, Bq = m.pre(xyz_pre, feat_pre, new_xyz)
+                A_alt, _ = m.pre(xyz_pre, feat_alt_pre, new_xyz)
                 a0, b0, W1, a1, b1 = m.fused_eval_params()
                 c1, c2 = W1.shape
                 W1b = (
@@ -356,8 +395,10 @@ class SetAbstractionMSG(nn.Module):
             return new_xyz, jnp.concatenate(outs, axis=-1)
 
         if fused or (use_v4 and self.kernel_interpret):
-            pres = [m.pre(xyz, features, new_xyz) for m in mlps]
             if eval_kernel and all(len(sc.mlp) == 2 for sc in self.scales):
+                # eval kernels take A row-padded at birth (see _pad_pre_inputs)
+                xyz_pre, feat_pre = self._pad_pre_inputs(xyz, features)
+                pres = [m.pre(xyz_pre, feat_pre, new_xyz) for m in mlps]
                 # fully fused inference: one kernel computes every scale's
                 # grouped features, folded-BN MLP and slot maxpool in VMEM
                 params = tuple(
@@ -376,6 +417,7 @@ class SetAbstractionMSG(nn.Module):
                 return new_xyz, jnp.concatenate(outs, axis=-1)
             # training: grouped layer-1 features in one kernel, BN/ReLU +
             # later layers on the grouped tensors for exact batch statistics
+            pres = [m.pre(xyz, features, new_xyz) for m in mlps]
             if counts is not None:
                 # gated train path: queries sorted by the exact composite
                 # key so the two-gate fires; BN/MLP/maxpool run in sorted
@@ -397,9 +439,14 @@ class SetAbstractionMSG(nn.Module):
                     (jnp.take_along_axis(nd, order, axis=1), jnp.take_along_axis(th, order, axis=1))
                     for nd, th in bounds
                 )
+                # packed_slots: kernel emits slot pairs lane-packed
+                # (B, ns/2, M, 2C) — full-lane chain with no XLA relayout
+                ps = self.packed_slots and all(
+                    sc.nsample % 2 == 0 and A.shape[-1] < 128 for sc, (A, _) in zip(self.scales, pres)
+                )
                 grouped = ball_query_group_pallas_gated(
                     scale_spec, xyz, q_sorted, tuple(A for A, _ in pres),
-                    bounds_sorted, self.kernel_interpret,
+                    bounds_sorted, self.kernel_interpret, ps,
                 )
                 # grouped tensors are SLOT-MAJOR (B, ns, M, C) — BN/MLP run
                 # in that layout (stats reduce over every non-channel axis,
@@ -410,6 +457,16 @@ class SetAbstractionMSG(nn.Module):
                 outs = []
                 for m, g, (_, Bq) in zip(mlps, grouped, pres):
                     Bqs = jnp.take_along_axis(Bq, order[..., None], axis=1)
+                    if ps:
+                        h = m.post(g, Bqs, mask=mask, train=train, slot_major=True,
+                                   packed=2, slot_packed=True)
+                        pooled = jnp.max(h, axis=1)  # (B, M, 2*C2) — small
+                        C2 = pooled.shape[-1] // 2
+                        # slot max finishes across the lane pair (exact:
+                        # max is commutative/associative)
+                        pooled = jnp.maximum(pooled[..., :C2], pooled[..., C2:])
+                        outs.append(jnp.take_along_axis(pooled, inv_order[..., None], axis=1))
+                        continue
                     Bb, ns, M, C = g.shape
                     p = 128 // C if (self.packed_chain and 128 % C == 0 and C < 128 and M % (128 // C) == 0) else 1
                     if p > 1:
@@ -485,6 +542,9 @@ class PointNet2MSGEncoder(nn.Module):
     # lane-pack C<128 grouped planes through the train-path BN/MLP chain
     # (exact; opt-in until measured — see SetAbstractionMSG.packed_chain)
     packed_chain: bool = False
+    # kernel-emitted slot-pair lane packing for the train chain (exact;
+    # opt-in until measured — see SetAbstractionMSG.packed_slots)
+    packed_slots: bool = False
     # solo-sorted per-scale eval kernels (exact; opt-in until measured — see
     # SetAbstractionMSG.per_scale_sort)
     per_scale_sort: bool = False
@@ -509,7 +569,8 @@ class PointNet2MSGEncoder(nn.Module):
         Off the kernel path the directions are interleaved up front and the
         standard encoder runs — same results, no sharing."""
         knobs = dict(fused_mode=self.fused_mode, kernel_interpret=self.kernel_interpret,
-                     packed_chain=self.packed_chain, per_scale_sort=self.per_scale_sort,
+                     packed_chain=self.packed_chain, packed_slots=self.packed_slots,
+                     per_scale_sort=self.per_scale_sort,
                      eval_subtile=self.eval_subtile, serving_fused=self.serving_fused)
         sa1 = SetAbstractionMSG(
             npoint=self.sa_npoints[0],

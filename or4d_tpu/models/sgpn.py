@@ -68,6 +68,9 @@ class SGPN(nn.Module):
     # lane-pack C<128 grouped planes through the train-path BN/MLP chain
     # (exact; opt-in until measured — see SetAbstractionMSG.packed_chain)
     packed_chain: bool = False
+    # kernel-emitted slot-pair lane packing for the train chain (exact;
+    # opt-in until measured — see SetAbstractionMSG.packed_slots)
+    packed_slots: bool = False
     # solo-sorted per-scale eval kernels (exact; opt-in until measured — see
     # SetAbstractionMSG.per_scale_sort)
     per_scale_sort: bool = False
@@ -98,6 +101,7 @@ class SGPN(nn.Module):
             sa_npoints=tuple(cfg.model.sa_npoints),
             sa_nsamples=tuple(tuple(s) for s in cfg.model.sa_nsamples),
             packed_chain=cfg.tpu.packed_chain,
+            packed_slots=cfg.tpu.packed_slots,
             per_scale_sort=cfg.tpu.per_scale_sort,
             eval_subtile=cfg.tpu.eval_subtile,
             serving_fused=cfg.tpu.serving_fused,
@@ -171,6 +175,7 @@ class SGPN(nn.Module):
 
         enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples,
                    dtype=self.compute_dtype, packed_chain=self.packed_chain,
+                   packed_slots=self.packed_slots,
                    per_scale_sort=self.per_scale_sort, eval_subtile=self.eval_subtile,
                    serving_fused=self.serving_fused)
         obj_cache, rel_cache = sa1_caches if sa1_caches is not None else (None, None)

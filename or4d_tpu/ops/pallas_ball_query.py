@@ -1111,8 +1111,14 @@ def ball_query_group_mlp_pallas(
     A_in, bq_in, a0_in, b0_in, w1_in, a1_in, b1_in = [], [], [], [], [], [], []
     for A, Bq, a0, b0, W1, a1, b1 in scale_params:
         # chunk-major layout (free reshape) so the kernel's gated dynamic
-        # chunk loop indexes a leading (non-lane) dimension
-        A_in.append(jnp.pad(A, ((0, 0), (0, Np - N), (0, 0))).reshape(B, nch, _CHUNK, -1))
+        # chunk loop indexes a leading (non-lane) dimension. Callers may
+        # hand A already row-padded to Np (SetAbstractionMSG computes it on
+        # zero-padded inputs) — padding HERE forces XLA to materialize a
+        # copy + pad temp of the multi-GB plane (measured 3x4.5G HLO temps
+        # at S=64, the HBM OOM of 2026-08-18); pad rows are never selected
+        # (poison support coords), so any zero rows are equivalent.
+        assert A.shape[1] in (N, Np), (A.shape, N, Np)
+        A_in.append(jnp.pad(A, ((0, 0), (0, Np - A.shape[1]), (0, 0))).reshape(B, nch, _CHUNK, -1))
         bq_in.append(
             jnp.pad(Bq.astype(jnp.float32), ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, -1)
         )
@@ -1176,12 +1182,19 @@ def ball_query_group_mlp_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int):
+def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int, pack_slots: bool = False):
     """Grouped-feature kernel with the v4 gating machinery: emits the full
     (tm, ns, C) grouped tensors (train path needs them for exact batch-stat
     BN), but distances/prefixes/selections only run on the chunks the exact
     input bounds require. Queries arrive SORTED (caller's composite key) —
-    order only affects tile homogeneity, never values."""
+    order only affects tile homogeneity, never values.
+
+    pack_slots: emit slot PAIRS lane-packed — (ns/2, tm, 2C) — so the
+    downstream BN/MLP chain rides full 128-lane HBM tiles when C=64 (half
+    of every bf16 tile is lane padding otherwise; the XLA repack that
+    `packed_chain` pays for is free here because the kernel writes the
+    packed layout directly). Values are identical — slot s lives in lane
+    half s%2 of pair s//2."""
     S = len(scales)
     PC = _CHUNK // 2
     halves = _CHUNK // PC
@@ -1189,7 +1202,7 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int):
     def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *rest):
         A_refs = rest[0:S]
         bounds_refs = rest[S : 2 * S]
-        out_refs = rest[2 * S : 3 * S]  # per scale (1, ns, tm, C) slot-major
+        out_refs = rest[2 * S : 3 * S]  # per scale (1, ns[/2], tm, C[*2]) slot-major
         rank_ref = rest[3 * S]  # (nch, subtile, CHUNK) f32 scratch
 
         tri = _tri_inclusive(jnp.bfloat16, PC)
@@ -1218,11 +1231,21 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int):
             A_ref = A_refs[s]  # (1, nch, CHUNK, C)
             out_ref = out_refs[s]  # (1, ns, tm, C) — slot-major: a (32, C)
             # store per (slot, subtile) is a contiguous-sublane write; the
-            # query-major layout needs an unsupported strided shape cast
+            # query-major layout needs an unsupported strided shape cast.
+            # pack_slots: (1, ns/2, tm, 2C) — slot pairs concatenated into
+            # lanes in-register (offset-0 values only), one aligned store
             A_dtype = A_ref.dtype
             C = A_ref.shape[-1]
             r2s = radius * radius
             bounds = bounds_refs[s][0]  # (tm, 2) [need, thr]
+            nslots = nsample // 2 if pack_slots else nsample
+
+            def sel_dot(rank, kf, a_ch):
+                sel = (rank == kf).astype(A_dtype)
+                return jax.lax.dot_general(
+                    sel, a_ch, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
             for r0 in range(0, tm, subtile):
                 rs = slice(r0, r0 + subtile)
@@ -1232,20 +1255,29 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int):
                 cap = jnp.maximum(jnp.max(thrv), 1.0).astype(jnp.int32)
                 use_chunk = h * nsample <= cap * nch
 
-                for k in range(nsample):
-                    out_ref[0, k, rs] = jnp.zeros((subtile, C), out_ref.dtype)
+                for k in range(nslots):
+                    out_ref[0, k, rs] = jnp.zeros(
+                        (subtile, out_ref.shape[-1]), out_ref.dtype
+                    )
 
                 @pl.when(use_chunk)
                 def _chunk(rs=rs, h=h, A_ref=A_ref, out_ref=out_ref, r2s=r2s):
                     def body(ch, carry):
                         rank, carry = chunk_ranks(ch, rs, carry, r2s)
                         a_ch = A_ref[0, ch]
-                        for k in range(1, nsample + 1):
-                            sel = (rank == float(k)).astype(A_dtype)
-                            out_ref[0, k - 1, rs] += jax.lax.dot_general(
-                                sel, a_ch, dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            ).astype(out_ref.dtype)
+                        if pack_slots:
+                            for j in range(nsample // 2):
+                                d = jnp.concatenate(
+                                    [sel_dot(rank, float(2 * j + 1), a_ch),
+                                     sel_dot(rank, float(2 * j + 2), a_ch)],
+                                    axis=1,
+                                )
+                                out_ref[0, j, rs] += d.astype(out_ref.dtype)
+                        else:
+                            for k in range(1, nsample + 1):
+                                out_ref[0, k - 1, rs] += sel_dot(
+                                    rank, float(k), a_ch
+                                ).astype(out_ref.dtype)
                         return carry
 
                     jax.lax.fori_loop(0, h, body, jnp.zeros((subtile, 1), jnp.float32))
@@ -1258,27 +1290,60 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int):
                     for ch in range(nch):
                         rank_ref[ch], carry = chunk_ranks(ch, rs, carry, r2s)
 
-                    def slot_body(i, c):
-                        kf = (i + 1).astype(jnp.float32)
-                        acc = None
-                        for ch in range(nch):
-                            sel = (rank_ref[ch] == kf).astype(A_dtype)
-                            d = jax.lax.dot_general(
-                                sel, A_ref[0, ch], dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )
-                            acc = d if acc is None else acc + d
-                        out_ref[0, i, rs] = acc.astype(out_ref.dtype)
-                        return c
+                    if pack_slots:
+                        # pair iterations: both slots of a pair per step (an
+                        # odd cap computes one dead slot — its sel has no
+                        # hits, and the fill epilogue rewrites it anyway)
+                        def slot_body(i, c):
+                            kf0 = (2 * i + 1).astype(jnp.float32)
+                            kf1 = (2 * i + 2).astype(jnp.float32)
+                            acc0 = acc1 = None
+                            for ch in range(nch):
+                                d0 = sel_dot(rank_ref[ch], kf0, A_ref[0, ch])
+                                d1 = sel_dot(rank_ref[ch], kf1, A_ref[0, ch])
+                                acc0 = d0 if acc0 is None else acc0 + d0
+                                acc1 = d1 if acc1 is None else acc1 + d1
+                            out_ref[0, i, rs] = jnp.concatenate(
+                                [acc0, acc1], axis=1
+                            ).astype(out_ref.dtype)
+                            return c
 
-                    jax.lax.fori_loop(0, cap, slot_body, 0)
+                        jax.lax.fori_loop(0, (cap + 1) // 2, slot_body, 0)
+                    else:
+                        def slot_body(i, c):
+                            kf = (i + 1).astype(jnp.float32)
+                            acc = None
+                            for ch in range(nch):
+                                d = sel_dot(rank_ref[ch], kf, A_ref[0, ch])
+                                acc = d if acc is None else acc + d
+                            out_ref[0, i, rs] = acc.astype(out_ref.dtype)
+                            return c
+
+                        jax.lax.fori_loop(0, cap, slot_body, 0)
 
                 # first-hit fill: slots past thr duplicate slot 1 (exactly
                 # the reference padding the train consumers rely on)
-                first = out_ref[0, 0, rs]
-                for k in range(2, nsample + 1):
-                    cur = out_ref[0, k - 1, rs]
-                    out_ref[0, k - 1, rs] = jnp.where(thrv >= float(k), cur, first.astype(cur.dtype))
+                if pack_slots:
+                    # full-width masked blend: a (subtile, 1) mask cannot
+                    # broadcast against a lane-offset slice, so the mask is
+                    # assembled at full 2C width from offset-0 halves
+                    p0 = out_ref[0, 0, rs]
+                    first = p0[:, :C]
+                    first2 = jnp.concatenate([first, first], axis=1)
+                    ones = jnp.ones((subtile, C), jnp.float32)
+                    for j in range(nsample // 2):
+                        m0 = ones * (thrv >= float(2 * j + 1)).astype(jnp.float32)
+                        m1 = ones * (thrv >= float(2 * j + 2)).astype(jnp.float32)
+                        mask = jnp.concatenate([m0, m1], axis=1)
+                        cur = p0 if j == 0 else out_ref[0, j, rs]
+                        out_ref[0, j, rs] = jnp.where(
+                            mask > 0.0, cur, first2.astype(cur.dtype)
+                        )
+                else:
+                    first = out_ref[0, 0, rs]
+                    for k in range(2, nsample + 1):
+                        cur = out_ref[0, k - 1, rs]
+                        out_ref[0, k - 1, rs] = jnp.where(thrv >= float(k), cur, first.astype(cur.dtype))
 
     return kernel
 
@@ -1393,7 +1458,7 @@ def _make_group_bwd_kernel_gated(scales, tm: int, subtile: int, nch: int):
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5, 6))
 def ball_query_group_pallas_gated(
     scales: tuple[tuple[float, int], ...],
     xyz: jax.Array,
@@ -1401,6 +1466,7 @@ def ball_query_group_pallas_gated(
     feats: tuple[jax.Array, ...],
     bounds: tuple[tuple[jax.Array, jax.Array], ...],
     interpret: bool = False,
+    pack_slots: bool = False,
 ) -> tuple[jax.Array, ...]:
     """Two-gate grouped ball query with exact bounds as inputs (train path).
 
@@ -1411,12 +1477,18 @@ def ball_query_group_pallas_gated(
     can store contiguously, and keeping it end-to-end avoids materializing
     a second multi-GB copy per scale. Callers should pass new_xyz SORTED by
     the composite key (and un-permute downstream) — the values are
-    order-independent, the speed is not."""
-    return _bqgg_forward(scales, xyz, new_xyz, feats, bounds, interpret)
+    order-independent, the speed is not.
+
+    pack_slots: emit (B, ns/2, M, 2C) — slot s in lane half s%2 of pair
+    s//2 — so a C=64 bf16 chain rides full 128-lane HBM tiles downstream
+    (ns must be even, C < 128). The backward accepts cotangents in the
+    packed layout (one XLA lane-slice unpack feeds the unchanged bwd
+    kernel). Values identical to the unpacked layout."""
+    return _bqgg_forward(scales, xyz, new_xyz, feats, bounds, interpret, pack_slots)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def _bqgg_forward(scales, xyz, new_xyz, feats, bounds, interpret):
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def _bqgg_forward(scales, xyz, new_xyz, feats, bounds, interpret, pack_slots=False):
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     Np = _round_up(N, _CHUNK)
@@ -1447,20 +1519,26 @@ def _bqgg_forward(scales, xyz, new_xyz, feats, bounds, interpret):
         for f in fpad
     ]
     bspec = pl.BlockSpec((1, tm, 2), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    if pack_slots:
+        assert all(ns % 2 == 0 and f.shape[-1] < 128 for (_, ns), f in zip(scales, feats)), (
+            "pack_slots needs even nsample and C < 128")
     # outputs STAY slot-major (B, ns, Mp, C): each grid step writes its
     # (1, ns, tm, C) block into the Mp slice directly — transposing to
     # query-major would materialize a second multi-GB copy of tensors that
-    # already dominate train-step HBM (observed OOM at S=8 bench shapes)
+    # already dominate train-step HBM (observed OOM at S=8 bench shapes).
+    # pack_slots: (B, ns/2, Mp, 2C) — full-lane tiles for the C=64 chain
+    sdim = lambda ns: ns // 2 if pack_slots else ns
+    cdim = lambda f: f.shape[-1] * 2 if pack_slots else f.shape[-1]
     out_specs = tuple(
-        pl.BlockSpec((1, ns, tm, f.shape[-1]), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, sdim(ns), tm, cdim(f)), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM)
         for (_, ns), f in zip(scales, feats)
     )
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((B, ns, Mp, f.shape[-1]), f.dtype) for (_, ns), f in zip(scales, feats)
+        jax.ShapeDtypeStruct((B, sdim(ns), Mp, cdim(f)), f.dtype) for (_, ns), f in zip(scales, feats)
     )
 
     outs = pl.pallas_call(
-        _make_group_kernel_gated(scales, tm, subtile, nch),
+        _make_group_kernel_gated(scales, tm, subtile, nch, pack_slots),
         grid=grid,
         in_specs=[qspec, qspec, qspec, sspec, sspec, sspec, *fspecs, *[bspec] * len(scales)],
         out_specs=out_specs,
@@ -1535,13 +1613,22 @@ def _bqgg_backward_impl(scales, xyz, new_xyz, gs, bounds, interpret, feat_shapes
     )
 
 
-def _bqgg_fwd(scales, xyz, new_xyz, feats, bounds, interpret):
-    out = _bqgg_forward(scales, xyz, new_xyz, feats, bounds, interpret)
+def _bqgg_fwd(scales, xyz, new_xyz, feats, bounds, interpret, pack_slots=False):
+    out = _bqgg_forward(scales, xyz, new_xyz, feats, bounds, interpret, pack_slots)
     return out, (xyz, new_xyz, bounds)
 
 
-def _bqgg_bwd(scales, interpret, res, gs):
+def _bqgg_bwd(scales, interpret, pack_slots, res, gs):
     xyz, new_xyz, bounds = res
+    if pack_slots:
+        # cotangents arrive (B, ns/2, M, 2C): unpack the lane pairs back to
+        # (B, ns, M, C) for the (unchanged) bwd kernel. One lane-slice copy
+        # per plane — cheap next to the selection matmuls it feeds.
+        gs = tuple(
+            jnp.stack([g[..., : g.shape[-1] // 2], g[..., g.shape[-1] // 2 :]], axis=2)
+            .reshape(g.shape[0], g.shape[1] * 2, g.shape[2], g.shape[-1] // 2)
+            for g in gs
+        )
     feat_shapes_dtypes = tuple(((xyz.shape[1], g.shape[-1]), jnp.dtype(g.dtype).name) for g in gs)
     dA = _bqgg_backward_impl(scales, xyz, new_xyz, tuple(gs), bounds, interpret, feat_shapes_dtypes)
     zb = tuple((jnp.zeros_like(n), jnp.zeros_like(t)) for n, t in bounds)
@@ -1607,8 +1694,11 @@ def ball_query_group_mlp_pallas_v4(
 
     A_in, bq_in, a0_in, b0_in, w1_in, a1_in, b1_in = [], [], [], [], [], [], []
     for A, Bq, a0, b0, W1, a1, b1 in scale_params:
-        # pair-major when chunk-pairing: (nch/step, step*CHUNK, C)
-        A_in.append(jnp.pad(A, ((0, 0), (0, Np - N), (0, 0))).reshape(B, nch // step, step * _CHUNK, -1))
+        # pair-major when chunk-pairing: (nch/step, step*CHUNK, C).
+        # A may arrive pre-padded to Np rows (see ball_query_group_mlp_pallas)
+        # — a pad here would materialize copy+pad HLO temps of the plane.
+        assert A.shape[1] in (N, Np), (A.shape, N, Np)
+        A_in.append(jnp.pad(A, ((0, 0), (0, Np - A.shape[1]), (0, 0))).reshape(B, nch // step, step * _CHUNK, -1))
         bq_in.append(
             jnp.pad(Bq.astype(jnp.float32), ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, -1)
         )

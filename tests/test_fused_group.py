@@ -352,6 +352,99 @@ class TestFusedGroupMLPSorted:
         g_k = jax.grad(lambda f: loss(packed, f))(feats)
         np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_p), rtol=2e-3, atol=2e-3)
 
+    def test_gated_group_pack_slots_parity(self):
+        """pack_slots emits (B, ns/2, M, 2C) slot pairs lane-packed; values
+        are bit-identical to the unpacked layout, and the custom VJP routes
+        packed cotangents through the same gradient as unpacked ones."""
+        import jax
+
+        from or4d_tpu.ops.pallas_ball_query import ball_query_group_pallas_gated
+
+        B, N, M, C = 1, 1100, 256, 16
+        xyz, new_xyz, A = _setup(71, B, N, M, C)
+        scales = ((0.15, 4), (0.3, 6))
+        A2 = _setup(72, B, N, M, C)[2]
+
+        q = np.asarray(new_xyz, np.float32)
+        p = np.asarray(xyz, np.float32)
+        d2 = ((q[:, :, None, :] - p[:, None, :, :]).astype(np.float32) ** 2).sum(-1, dtype=np.float32)
+        bounds = []
+        for r, ns in scales:
+            hit = d2 < np.float32(r * r)
+            chunks = np.add.reduceat(hit, np.arange(0, N, 512), axis=-1).astype(np.float32)
+            ccum = np.cumsum(chunks, axis=-1)
+            tot = ccum[..., -1]
+            thr = np.minimum(tot, float(ns))
+            need = (ccum < thr[..., None]).sum(-1) + 1.0
+            bounds.append((jnp.asarray(need, jnp.float32), jnp.asarray(thr, jnp.float32)))
+        bounds = tuple(bounds)
+
+        plain = ball_query_group_pallas_gated(scales, xyz, new_xyz, (A, A2), bounds, True)
+        packed = ball_query_group_pallas_gated(scales, xyz, new_xyz, (A, A2), bounds, True, True)
+        for (_, ns), o_plain, o_pack in zip(scales, plain, packed):
+            # unpack: pair j lanes [0:C]/[C:2C] are slots 2j/2j+1
+            up = np.concatenate(
+                [np.asarray(o_pack)[:, :, None, :, :C], np.asarray(o_pack)[:, :, None, :, C:]], axis=2
+            ).reshape(o_plain.shape)
+            np.testing.assert_array_equal(up, np.asarray(o_plain))
+
+        # gradient parity: packed cotangents route exactly like unpacked
+        Wp = jnp.asarray(np.random.default_rng(73).standard_normal((3, 256, 2 * C)).astype(np.float32))
+
+        def loss_packed(A):
+            g = ball_query_group_pallas_gated(scales, xyz, new_xyz, (A, A), bounds, True, True)
+            return jnp.sum(jnp.tanh(g[1]) * Wp[None]) + jnp.sum(g[0])
+
+        def loss_plain(A):
+            g = ball_query_group_pallas_gated(scales, xyz, new_xyz, (A, A), bounds, True)
+            g1 = jnp.concatenate(
+                [g[1][:, :, None, :, :], jnp.zeros_like(g[1][:, :, None, :, :])], axis=2
+            )  # reshape plain (B, 6, M, C) into the packed view for the same loss
+            gp = jnp.concatenate([g[1][:, 0::2], g[1][:, 1::2]], axis=-1)
+            del g1
+            return jnp.sum(jnp.tanh(gp) * Wp[None]) + jnp.sum(g[0])
+
+        ga = jax.grad(loss_packed)(A)
+        gb = jax.grad(loss_plain)(A)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=2e-4)
+
+    def test_sa_stage_train_gated_packed_slots(self):
+        """packed_slots (kernel-emitted slot-pair lane packing) — same
+        outputs, same batch_stats, same grads as the plain gated train path
+        up to BN reassociation."""
+        import jax
+
+        from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
+
+        rng = np.random.default_rng(63)
+        B, N = 2, 1100
+        pc = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((B, N, 5)).astype(np.float32))
+        scales = (SAScale(0.15, 4, (16, 24)), SAScale(0.3, 6, (32, 16)))
+        kw = dict(npoint=128, scales=scales, fused_mode="train_kernel",
+                  kernel_interpret=True, eval_subtile=32)
+        plain = SetAbstractionMSG(**kw)
+        packed = SetAbstractionMSG(packed_slots=True, **kw)
+        v = plain.init(jax.random.key(0), pc, feats, train=True)
+        (nx_p, f_p), mut_p = plain.apply(v, pc, feats, train=True, mutable=["batch_stats"])
+        (nx_k, f_k), mut_k = packed.apply(v, pc, feats, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(nx_k), np.asarray(nx_p), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_p), rtol=1e-4, atol=1e-4)
+        for (kp, sp), (kk, sk) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(mut_p["batch_stats"]), key=str),
+            sorted(jax.tree_util.tree_leaves_with_path(mut_k["batch_stats"]), key=str),
+        ):
+            assert str(kp) == str(kk)
+            np.testing.assert_allclose(np.asarray(sk), np.asarray(sp), rtol=1e-5, atol=1e-5)
+
+        def loss(mod, f):
+            _, out = mod.apply(v, pc, f, train=True, mutable=["batch_stats"])[0]
+            return jnp.sum(out * out)
+
+        g_p = jax.grad(lambda f: loss(plain, f))(feats)
+        g_k = jax.grad(lambda f: loss(packed, f))(feats)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_p), rtol=2e-3, atol=2e-3)
+
     def test_sa_stage_v4_end_to_end(self):
         """SetAbstractionMSG's v4 eval path (FPS-fused counts -> bounds ->
         v4 kernel, interpret mode) equals the index path."""
