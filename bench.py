@@ -48,11 +48,15 @@ def main() -> None:
     )
     ap.add_argument(
         "--eval-subtile", type=int, default=32,
-        help="two-gate sub-tile rows in the fused eval kernels (exact tuning knob)",
+        help="two-gate sub-tile rows in the fused eval kernels (exact tuning "
+             "knob). WARNING: 64 CRASHED the TPU worker on the paired path "
+             "(kernel fault, 2026-08-18) — needs an isolated investigation.",
     )
     ap.add_argument(
         "--per-scale-sort", action="store_true",
-        help="solo-sorted per-scale eval kernels (exact; A/B knob)",
+        help="solo-sorted per-scale eval kernels (exact; A/B knob). WARNING: "
+             "CRASHED the TPU worker on the paired path (kernel fault, "
+             "2026-08-18) — needs an isolated investigation.",
     )
     ap.add_argument(
         "--serving", action="store_true",

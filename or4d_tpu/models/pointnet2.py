@@ -78,6 +78,21 @@ class DelayedSharedMLP(nn.Module):
         ]
         self.bn_layers = [MaskedBatchNorm(ch, name=f"bn_{i}") for i, ch in enumerate(self.channels)]
 
+    def w0_matrix(self, c0):
+        """The layer-1 weight (c0, C1) recovered through the module (identity
+        probe — parameter naming untouched), for kernels that compute the A
+        plane in VMEM from raw [p|f] channels (v4 raw mode)."""
+        return self.dense_layers[0](jnp.eye(c0, dtype=self.dtype))
+
+    def bq_term(self, new_xyz, c0):
+        """The per-query subtraction term Bq = W_xyz @ q alone (the delayed
+        aggregation identity W @ [p-q, f] = W @ [p, f] - W @ [q, 0...])."""
+        pad_q = jnp.concatenate(
+            [new_xyz.astype(self.dtype), jnp.zeros(new_xyz.shape[:-1] + (c0 - 3,), self.dtype)],
+            axis=-1,
+        )
+        return self.dense_layers[0](pad_q)
+
     def pre(self, xyz, features, new_xyz):
         """Per-support layer-1 plane A = W @ [p, f_p] and the per-query
         subtraction term Bq = W_xyz @ q."""
@@ -239,15 +254,17 @@ class SetAbstractionMSG(nn.Module):
         feat_p = None if features is None else jnp.pad(features, ((0, 0), (0, npad), (0, 0)))
         return xyz_p, feat_p
 
-    def _v4_call(self, v4_fn, scale_spec, xyz, new_xyz, params, bounds):
+    def _v4_call(self, v4_fn, scale_spec, xyz, new_xyz, params, bounds, raw=None):
         """Dispatch the fused v4 eval kernel: one multi-scale call (shared
-        composite sort), or one solo-sorted call per scale (per_scale_sort)."""
+        composite sort), or one solo-sorted call per scale (per_scale_sort).
+        ``raw``: channel-major [p|f] plane for in-kernel A materialization
+        (params then carry layer-1 weights instead of A planes)."""
         if not self.per_scale_sort:
             return v4_fn(scale_spec, xyz, new_xyz, params, bounds,
-                         self.kernel_interpret, None, self.eval_subtile)
+                         self.kernel_interpret, None, self.eval_subtile, True, raw)
         return [
             v4_fn((scale_spec[si],), xyz, new_xyz, (params[si],), (bounds[si],),
-                  self.kernel_interpret, None, self.eval_subtile)[0]
+                  self.kernel_interpret, None, self.eval_subtile, True, raw)[0]
             for si in range(len(scale_spec))
         ]
 
@@ -355,10 +372,9 @@ class SetAbstractionMSG(nn.Module):
                 raise ValueError("paired SA requires the fused eval kernel path")
             xyz_pre, feat_pre = self._pad_pre_inputs(xyz, features)
             _, feat_alt_pre = self._pad_pre_inputs(xyz, features_alt)
-            params = []
-            for m in mlps:
-                A, Bq = m.pre(xyz_pre, feat_pre, new_xyz)
-                A_alt, _ = m.pre(xyz_pre, feat_alt_pre, new_xyz)
+            C0 = 3 + features.shape[-1]
+
+            def pair_tail(m):
                 a0, b0, W1, a1, b1 = m.fused_eval_params()
                 c1, c2 = W1.shape
                 W1b = (
@@ -366,19 +382,46 @@ class SetAbstractionMSG(nn.Module):
                     .at[:c1, :c2].set(W1)
                     .at[c1:, c2:].set(W1)
                 )
-                params.append((
-                    jnp.concatenate([A, A_alt], axis=-1),
-                    jnp.concatenate([Bq, Bq], axis=-1),
+                return (
                     jnp.concatenate([a0, a0]), jnp.concatenate([b0, b0]),
                     W1b,
                     jnp.concatenate([a1, a1]), jnp.concatenate([b1, b1]),
-                ))
+                )
+
             if counts is not None:
+                # v4 raw mode: the multi-GB [A_fwd|A_rev] planes never exist
+                # in HBM — the kernel computes them in VMEM from one shared
+                # channel-major [xyz|rgb|m_fwd|m_rev] plane. The paired W0
+                # routes m_fwd to the fwd half and m_rev to the rev half
+                # (exact: same rows W0 would have produced per direction).
+                raw = jnp.concatenate(
+                    [xyz_pre, feat_pre, feat_alt_pre[..., -1:]], axis=-1
+                ).astype(self.dtype).transpose(0, 2, 1)  # (B, C0+1, Np)
+                params = []
+                for m in mlps:
+                    W0 = m.w0_matrix(C0)  # (C0, C1)
+                    z = jnp.zeros_like(W0[C0 - 1 : C0])
+                    W0p = jnp.concatenate([
+                        jnp.concatenate([W0[: C0 - 1], W0[: C0 - 1]], axis=1),
+                        jnp.concatenate([W0[C0 - 1 : C0], z], axis=1),
+                        jnp.concatenate([z, W0[C0 - 1 : C0]], axis=1),
+                    ], axis=0)  # (C0+1, 2*C1)
+                    Bq = m.bq_term(new_xyz, C0)
+                    params.append((W0p, jnp.concatenate([Bq, Bq], axis=-1), *pair_tail(m)))
                 outs = self._v4_call(
                     ball_query_group_mlp_pallas_v4, scale_spec, xyz, new_xyz,
-                    tuple(params), _counts_to_bounds(scale_spec, counts),
+                    tuple(params), _counts_to_bounds(scale_spec, counts), raw=raw,
                 )
             else:
+                params = []
+                for m in mlps:
+                    A, Bq = m.pre(xyz_pre, feat_pre, new_xyz)
+                    A_alt, _ = m.pre(xyz_pre, feat_alt_pre, new_xyz)
+                    params.append((
+                        jnp.concatenate([A, A_alt], axis=-1),
+                        jnp.concatenate([Bq, Bq], axis=-1),
+                        *pair_tail(m),
+                    ))
                 # single-chunk supports (e.g. SA2's 512 SA1 centroids): the
                 # ungated fused kernel — there is nothing for the v4 gates to
                 # skip, but FPS/distances/prefix/compares still run once per
@@ -396,20 +439,30 @@ class SetAbstractionMSG(nn.Module):
 
         if fused or (use_v4 and self.kernel_interpret):
             if eval_kernel and all(len(sc.mlp) == 2 for sc in self.scales):
-                # eval kernels take A row-padded at birth (see _pad_pre_inputs)
-                xyz_pre, feat_pre = self._pad_pre_inputs(xyz, features)
-                pres = [m.pre(xyz_pre, feat_pre, new_xyz) for m in mlps]
                 # fully fused inference: one kernel computes every scale's
                 # grouped features, folded-BN MLP and slot maxpool in VMEM
-                params = tuple(
-                    (A, Bq, *m.fused_eval_params()) for (A, Bq), m in zip(pres, mlps)
-                )
+                xyz_pre, feat_pre = self._pad_pre_inputs(xyz, features)
                 if counts is not None:
+                    # v4 raw mode: A planes materialized in VMEM from one
+                    # shared channel-major [p|f] plane (see the kernel doc)
+                    C0 = 3 + (features.shape[-1] if features is not None else 0)
+                    raw = (
+                        jnp.concatenate([xyz_pre, feat_pre], axis=-1)
+                        if feat_pre is not None else xyz_pre
+                    ).astype(self.dtype).transpose(0, 2, 1)  # (B, C0, Np)
+                    params = tuple(
+                        (m.w0_matrix(C0), m.bq_term(new_xyz, C0), *m.fused_eval_params())
+                        for m in mlps
+                    )
                     outs = self._v4_call(
                         ball_query_group_mlp_pallas_v4, scale_spec, xyz, new_xyz,
-                        params, _counts_to_bounds(scale_spec, counts),
+                        params, _counts_to_bounds(scale_spec, counts), raw=raw,
                     )
                 else:
+                    pres = [m.pre(xyz_pre, feat_pre, new_xyz) for m in mlps]
+                    params = tuple(
+                        (A, Bq, *m.fused_eval_params()) for (A, Bq), m in zip(pres, mlps)
+                    )
                     outs = ball_query_group_mlp_pallas(
                         scale_spec, xyz, new_xyz, params, self.kernel_interpret,
                         None, False, self.eval_subtile,

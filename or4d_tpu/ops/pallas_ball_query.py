@@ -613,6 +613,7 @@ def _make_group_mlp_kernel_v4(
     subtile: int,
     nch: int,
     pair_chunks: bool = False,
+    from_raw: bool = False,
 ):
     """Two-gate sub-tiled eval SA kernel, lazy-everything variant.
 
@@ -633,6 +634,14 @@ def _make_group_mlp_kernel_v4(
     pair_chunks: fuse chunk pairs in the selection dots (k = 2*CHUNK) —
     halves the per-unit dispatch overhead at the cost of chunk-pair gate
     granularity. Requires even nch.
+
+    from_raw: the per-scale A operand is a LAYER-1 WEIGHT matrix (C0p, C1)
+    and one shared raw [xyz|feat] plane (B, nchA, stepCHUNK, C0p) rides in
+    after the bounds; each program computes its A planes in VMEM (one tiny
+    (stepCHUNK, C0p) @ (C0p, C1) matmul per chunk — identical bf16-input
+    f32-accumulate arithmetic to the XLA dense it replaces), so the multi-GB
+    HBM A planes never exist. ~38 GFLOP of recompute per bench batch vs
+    ~10 GB of HBM traffic saved.
     """
     S = len(scales)
     PC = _CHUNK // 2
@@ -640,7 +649,7 @@ def _make_group_mlp_kernel_v4(
     step = 2 if pair_chunks else 1  # chunks per gated iteration
 
     def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *rest):
-        A_refs = rest[0:S]
+        A_refs = rest[0:S]  # from_raw: per-scale W0 (1, C0p, C1)
         bq_refs = rest[S : 2 * S]
         a0_refs = rest[2 * S : 3 * S]
         b0_refs = rest[3 * S : 4 * S]
@@ -648,9 +657,15 @@ def _make_group_mlp_kernel_v4(
         a1_refs = rest[5 * S : 6 * S]
         b1_refs = rest[6 * S : 7 * S]
         bounds_refs = rest[7 * S : 8 * S]
-        out_refs = rest[8 * S : 9 * S]
-        rank_ref = rest[9 * S]  # (nch, subtile, CHUNK) f32 scratch (slot path)
-        acc_refs = rest[9 * S + 1 :]  # per scale (ns, tm, C1) f32
+        nin = 8 * S + (1 if from_raw else 0)
+        raw_ref = rest[8 * S] if from_raw else None  # (1, C0, nchA, stepCHUNK)
+        out_refs = rest[nin : nin + S]
+        rank_ref = rest[nin + S]  # (nch, subtile, CHUNK) f32 scratch (slot path)
+        if from_raw:
+            a_scr_refs = rest[nin + S + 1 : nin + 2 * S + 1]  # (nchA, stepCHUNK, C1)
+            acc_refs = rest[nin + 2 * S + 1 :]  # per scale (ns, tm, C1) f32
+        else:
+            acc_refs = rest[nin + S + 1 :]  # per scale (ns, tm, C1) f32
 
         tri = _tri_inclusive(jnp.bfloat16, PC)
         qx = qx_ref[0].reshape(tm, 1)
@@ -679,10 +694,25 @@ def _make_group_mlp_kernel_v4(
             return jnp.concatenate(parts, axis=1), off
 
         for s, (radius, nsample) in enumerate(scales):
-            A_ref = A_refs[s]  # (1, nchA, CHUNKA, C1) — pair-major if step=2
             acc_ref = acc_refs[s]
-            A_dtype = A_ref.dtype
+            A_dtype = A_refs[s].dtype
             C1 = acc_ref.shape[-1]
+            if from_raw:
+                # materialize this scale's A plane in VMEM from the shared
+                # channel-major raw plane: bf16 inputs, f32 accumulation,
+                # bf16 store — the same arithmetic as the XLA dense it
+                # replaces (contraction over the C0 sublane dim, the proven
+                # sel^T-style transposed-LHS pattern)
+                W0 = A_refs[s][0]
+                for cp in range(raw_ref.shape[2]):
+                    a_scr_refs[s][cp] = jax.lax.dot_general(
+                        raw_ref[0, :, cp], W0,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(A_dtype)
+                A_get = lambda cp, s=s: a_scr_refs[s][cp]
+            else:
+                A_get = lambda cp, A_ref=A_refs[s]: A_ref[0, cp]
             r2s = radius * radius
             Bq = bq_refs[s][0].astype(jnp.float32)
             a0 = a0_refs[s][0].astype(jnp.float32)
@@ -702,7 +732,7 @@ def _make_group_mlp_kernel_v4(
                 use_chunk = h * nsample <= cap * nch
 
                 @pl.when(use_chunk)
-                def _chunk_gate(rs=rs, hp=hp, A_ref=A_ref, acc_ref=acc_ref, r2s=r2s):
+                def _chunk_gate(rs=rs, hp=hp, A_get=A_get, acc_ref=acc_ref, r2s=r2s):
                     for k in range(nsample):
                         acc_ref[k, rs] = jnp.zeros((subtile, C1), jnp.float32)
 
@@ -713,7 +743,7 @@ def _make_group_mlp_kernel_v4(
                             rank = jnp.concatenate([r1, r2_], axis=1)
                         else:
                             rank, carry = chunk_ranks(cp, rs, carry, r2s)
-                        a_ch = A_ref[0, cp]
+                        a_ch = A_get(cp)
                         for k in range(1, nsample + 1):
                             sel = (rank == float(k)).astype(A_dtype)
                             acc_ref[k - 1, rs] += jax.lax.dot_general(
@@ -725,7 +755,7 @@ def _make_group_mlp_kernel_v4(
                     jax.lax.fori_loop(0, hp, body, jnp.zeros((subtile, 1), jnp.float32))
 
                 @pl.when(jnp.logical_not(use_chunk))
-                def _slot_gate(rs=rs, cap=cap, A_ref=A_ref, acc_ref=acc_ref, r2s=r2s):
+                def _slot_gate(rs=rs, cap=cap, A_get=A_get, acc_ref=acc_ref, r2s=r2s):
                     # stragglers: every hit is selected (total < ns), hits
                     # spread across scan order — build ALL rank planes once
                     # (static unroll, running carry), then loop real slots
@@ -745,7 +775,7 @@ def _make_group_mlp_kernel_v4(
                                 sel_plane = rank_ref[cp]
                             sel = (sel_plane == kf).astype(A_dtype)
                             d = jax.lax.dot_general(
-                                sel, A_ref[0, cp], dimension_numbers=(((1,), (0,)), ((), ())),
+                                sel, A_get(cp), dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             )
                             acc = d if acc is None else acc + d
@@ -1649,6 +1679,7 @@ def ball_query_group_mlp_pallas_v4(
     query_tile: int | None = None,
     subtile: int = 32,
     pair_chunks: bool = True,
+    raw: jax.Array | None = None,
 ) -> tuple[jax.Array, ...]:
     """Fully fused inference SA stage, v4: gate bounds as inputs.
 
@@ -1657,6 +1688,13 @@ def ball_query_group_mlp_pallas_v4(
     arithmetic), so no pre-pass kernel and no in-kernel full-width prefix.
     Results are bit-identical to the static kernel. Other arguments as in
     :func:`ball_query_group_mlp_pallas`.
+
+    ``raw``: (B, N[p], C0) zero-row-padded [xyz|features] plane shared by
+    all scales. When given, ``scale_params[s][0]`` is the scale's LAYER-1
+    WEIGHT (C0, C1) instead of its A plane: each program computes its A in
+    VMEM (same bf16-input/f32-accumulate arithmetic as the XLA dense), so
+    the multi-GB HBM A planes never exist — per bench batch ~10 GB of HBM
+    traffic traded for ~38 GFLOP of in-kernel recompute.
     """
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
@@ -1692,13 +1730,28 @@ def ball_query_group_mlp_pallas_v4(
     ]
     qry = [jnp.pad(new_xyz[..., i], ((0, 0), (0, Mp - M))).reshape(B * G, 1, tm) for i in range(3)]
 
+    raw_in = []
+    if raw is not None:
+        # raw is CHANNEL-MAJOR (B, C0, N[p]): channel-minor layout would pad
+        # C0 (6-8) to 128 lanes in HBM — an 18x blowup that re-creates the A
+        # planes this mode exists to delete. Zero pad columns give zero A
+        # rows after the in-kernel dot, exactly what the kernel pad wrote.
+        assert raw.shape[-1] in (N, Np), (raw.shape, N, Np)
+        raw_in.append(
+            jnp.pad(raw, ((0, 0), (0, 0), (0, Np - raw.shape[-1])))
+            .reshape(B, raw.shape[1], nch // step, step * _CHUNK)
+        )
     A_in, bq_in, a0_in, b0_in, w1_in, a1_in, b1_in = [], [], [], [], [], [], []
     for A, Bq, a0, b0, W1, a1, b1 in scale_params:
-        # pair-major when chunk-pairing: (nch/step, step*CHUNK, C).
-        # A may arrive pre-padded to Np rows (see ball_query_group_mlp_pallas)
-        # — a pad here would materialize copy+pad HLO temps of the plane.
-        assert A.shape[1] in (N, Np), (A.shape, N, Np)
-        A_in.append(jnp.pad(A, ((0, 0), (0, Np - A.shape[1]), (0, 0))).reshape(B, nch // step, step * _CHUNK, -1))
+        if raw is not None:
+            A_in.append(A[None])  # (1, C0, C1) layer-1 weight
+        else:
+            # pair-major when chunk-pairing: (nch/step, step*CHUNK, C).
+            # A may arrive pre-padded to Np rows (see
+            # ball_query_group_mlp_pallas) — a pad here would materialize
+            # copy+pad HLO temps of the plane.
+            assert A.shape[1] in (N, Np), (A.shape, N, Np)
+            A_in.append(jnp.pad(A, ((0, 0), (0, Np - A.shape[1]), (0, 0))).reshape(B, nch // step, step * _CHUNK, -1))
         bq_in.append(
             jnp.pad(Bq.astype(jnp.float32), ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, -1)
         )
@@ -1711,16 +1764,26 @@ def ball_query_group_mlp_pallas_v4(
     grid = (B, G)
     qspec = pl.BlockSpec((1, 1, tm), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, nch, 1, _CHUNK), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
-    A_specs = [
-        pl.BlockSpec((1, nch // step, step * _CHUNK, A.shape[-1]), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
-        for A in A_in
-    ]
+    vec_spec = lambda v: pl.BlockSpec(v.shape, lambda b, m: (0, 0, 0), memory_space=pltpu.VMEM)
+    if raw is not None:
+        A_specs = [vec_spec(w0) for w0 in A_in]
+        raw_specs = [
+            pl.BlockSpec((1, raw_in[0].shape[1], nch // step, step * _CHUNK),
+                         lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        c1s = [w0.shape[-1] for w0 in A_in]
+    else:
+        A_specs = [
+            pl.BlockSpec((1, nch // step, step * _CHUNK, A.shape[-1]), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+            for A in A_in
+        ]
+        raw_specs = []
+        c1s = [A.shape[-1] for A in A_in]
     bq_specs = [
         pl.BlockSpec((1, tm, q.shape[-1]), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
         for q in bq_in
     ]
     bspec = pl.BlockSpec((1, tm, 2), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
-    vec_spec = lambda v: pl.BlockSpec(v.shape, lambda b, m: (0, 0, 0), memory_space=pltpu.VMEM)
     out_specs = tuple(
         pl.BlockSpec((1, tm, w.shape[-1]), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
         for w in w1_in
@@ -1729,24 +1792,29 @@ def ball_query_group_mlp_pallas_v4(
         jax.ShapeDtypeStruct((B * G, tm, w.shape[-1]), A.dtype) for w, (A, *_r) in zip(w1_in, scale_params)
     )
 
+    a_scr = (
+        [pltpu.VMEM((nch // step, step * _CHUNK, c1), scale_params[0][0].dtype) for c1 in c1s]
+        if raw is not None else []
+    )
     outs = pl.pallas_call(
-        _make_group_mlp_kernel_v4(scales, tm, subtile, nch, pair_chunks),
+        _make_group_mlp_kernel_v4(scales, tm, subtile, nch, pair_chunks, raw is not None),
         grid=grid,
         in_specs=[qspec, qspec, qspec, sspec, sspec, sspec,
                   *A_specs, *bq_specs,
                   *[vec_spec(v) for v in a0_in], *[vec_spec(v) for v in b0_in],
                   *[vec_spec(v) for v in w1_in],
                   *[vec_spec(v) for v in a1_in], *[vec_spec(v) for v in b1_in],
-                  *[bspec] * len(scales)],
+                  *[bspec] * len(scales), *raw_specs],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((nch, subtile, _CHUNK), jnp.float32),
-            *[pltpu.VMEM((ns, tm, A.shape[-1]), jnp.float32) for (_r, ns), A in zip(scales, A_in)],
+            *a_scr,
+            *[pltpu.VMEM((ns, tm, c1), jnp.float32) for (_r, ns), c1 in zip(scales, c1s)],
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=80 * 1024 * 1024),
         interpret=interpret,
-    )(*qry, *sup, *A_in, *bq_in, *a0_in, *b0_in, *w1_in, *a1_in, *b1_in, *bounds_in)
+    )(*qry, *sup, *A_in, *bq_in, *a0_in, *b0_in, *w1_in, *a1_in, *b1_in, *bounds_in, *raw_in)
     if not isinstance(outs, (tuple, list)):
         outs = (outs,)
     outs = tuple(o.reshape(B, Mp, -1)[:, :M] for o in outs)

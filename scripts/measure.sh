@@ -24,22 +24,22 @@ run() {
 run python scripts/check_paired_parity_tpu.py --scenes 8
 run python scripts/perf_guardrail.py
 # 2. headline bench FIRST so BENCH_LATEST.json exists even if later steps
-#    hit a fresh outage
-echo "=== $(date +%H:%M:%S) python bench.py --scenes 16 (headline) ===" | tee -a "$LOG"
-timeout 3000 python bench.py --scenes 16 2>> "$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_headline.json
+#    hit a fresh outage (default S=32 — the measured 2026-08-18 sweet spot)
+echo "=== $(date +%H:%M:%S) python bench.py (headline) ===" | tee -a "$LOG"
+timeout 3000 python bench.py 2>> "$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_headline.json
 if python -c "import json,sys; json.load(open('/tmp/bench_headline.json'))" 2>/dev/null; then
   cp /tmp/bench_headline.json /root/repo/BENCH_LATEST.json
   echo "BENCH_LATEST.json written" | tee -a "$LOG"
 fi
 # 3. bench sweep for the amortization curve
 run python bench.py --scenes 8
-run python bench.py --scenes 32
+run python bench.py --scenes 16
 run python bench.py --scenes 64
-# 4. train-path numbers (A/B packed_chain at S=8 and S=16)
+# 4. train-path numbers (A/B packed_slots at S=8 and S=16; packed_chain
+#    measured -10% on 2026-08-18 and was dropped from the sequence)
 run python bench.py --train --scenes 8
-run python bench.py --train --scenes 8 --packed-chain
-run python bench.py --train --scenes 16
-run python bench.py --train --scenes 16 --packed-chain
+run python bench.py --train --scenes 8 --packed-slots
+run python bench.py --train --scenes 16 --packed-slots
 # 5. serving mode: precomputed SA1 geometry (separate, clearly-labeled
 #    metric — fixed-eval-set / validate-every-epoch access pattern)
 run python bench.py --serving --scenes 16
@@ -49,11 +49,10 @@ run python bench.py --serving --scenes 64
 #    main numbers): SA2 pair sharing, solo-sorted per-scale kernels
 run python bench.py --serving --scenes 16 --serving-fused
 run python bench.py --scenes 16 --paired-sa2
-run python bench.py --scenes 16 --per-scale-sort
-run python bench.py --scenes 16 --per-scale-sort --paired-sa2
-# paired rows are HALF the unpaired count — the 32-row gate granularity may
-# no longer be optimal
-run python bench.py --scenes 16 --eval-subtile 64
+# DO NOT re-add --per-scale-sort or --eval-subtile 64 here: both CRASH the
+# TPU worker (kernel fault, 2026-08-18 measure_r4 + r4b logs) and poison
+# every step after them until the worker restarts (~4 min). They need an
+# isolated crash investigation first (PERF.md round-6 measured table).
 # 7. attribution passes (inform the next lever, cost nothing above):
 #    serving stage split (cache build / steady-state / SA1-alone vs tail)
 run python scripts/bench_serving.py
