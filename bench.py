@@ -26,13 +26,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true", help="bench the train step instead of inference")
     ap.add_argument("--iters", type=int, default=12)
-    # 32 scenes/batch: the sweet spot measured on-chip 2026-08-18 with the
-    # paired eval path (42.7 scenes/s at 8, 51.9 at 16, 56.8 at 32; 64 OOMs
-    # HBM at 17.2G/15.75G) — 4D-OR processing is offline per-take, so
-    # throughput at modest (~0.6 s) batch latency is the serving-relevant
-    # number; batch_ms is reported alongside.
+    # 64 scenes/batch: the sweet spot measured on-chip 2026-08-19 with the
+    # paired eval path in v4 raw mode (44.7 scenes/s at 8, 62.9 at 32, 66.1
+    # at 64 — raw mode deletes the HBM A planes, which is what OOM'd S=64 on
+    # 2026-08-18) — 4D-OR processing is offline per-take, so throughput at
+    # modest (~1 s) batch latency is the serving-relevant number; batch_ms
+    # is reported alongside.
     ap.add_argument("--scenes", type=int, default=None,
-                    help="scenes per batch (default: 32 eval/serving, 8 train)")
+                    help="scenes per batch (default: 64 eval/serving, 8 train)")
     ap.add_argument(
         "--paired-sa2", action="store_true",
         help="extend eval pair sharing to the rel encoder's SA2 (exact; A/B knob)",
@@ -84,7 +85,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     # train S=16 OOMs HBM (27G/15.75G measured 2026-08-18); eval peaks at 32
-    S = args.scenes if args.scenes is not None else (8 if args.train else 32)
+    S = args.scenes if args.scenes is not None else (8 if args.train else 64)
     ds = DatasetConfig()  # paper shapes: 12 obj x 4000 pts, 132 edges x 8000 pts
     # pair_shared: both directions of a relation pair sample the same union
     # crop (direction-invariant by reference construction — data/prep.py), so

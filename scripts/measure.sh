@@ -24,7 +24,8 @@ run() {
 run python scripts/check_paired_parity_tpu.py --scenes 8
 run python scripts/perf_guardrail.py
 # 2. headline bench FIRST so BENCH_LATEST.json exists even if later steps
-#    hit a fresh outage (default S=32 — the measured 2026-08-18 sweet spot)
+#    hit a fresh outage (default S=64 — the measured 2026-08-19 sweet spot,
+#    unlocked by v4 raw mode)
 echo "=== $(date +%H:%M:%S) python bench.py (headline) ===" | tee -a "$LOG"
 timeout 3000 python bench.py 2>> "$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_headline.json
 if python -c "import json,sys; json.load(open('/tmp/bench_headline.json'))" 2>/dev/null; then
@@ -34,7 +35,7 @@ fi
 # 3. bench sweep for the amortization curve
 run python bench.py --scenes 8
 run python bench.py --scenes 16
-run python bench.py --scenes 64
+run python bench.py --scenes 32
 # 4. train-path numbers (A/B packed_slots at S=8 and S=16; packed_chain
 #    measured -10% on 2026-08-18 and was dropped from the sequence)
 run python bench.py --train --scenes 8
