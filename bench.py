@@ -43,9 +43,16 @@ def main() -> None:
         help="lane-pack C=64 grouped planes through the train BN/MLP chain (exact; A/B knob)",
     )
     ap.add_argument(
-        "--packed-slots", action="store_true",
+        "--packed-slots", action=argparse.BooleanOptionalAction, default=True,
         help="kernel-emitted slot-pair lane packing for the train chain "
-             "(exact; A/B knob — the no-relayout successor to --packed-chain)",
+             "(exact; the no-relayout successor to --packed-chain; measured "
+             "2026-08-19 S=8: 700 vs 707 ms — default on, --no-packed-slots "
+             "for the A/B)",
+    )
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="jax.checkpoint the train forward (exact; frees the saved "
+             "chain activations that OOM S>=16 at the cost of fwd recompute)",
     )
     ap.add_argument(
         "--eval-subtile", type=int, default=32,
@@ -128,7 +135,8 @@ def main() -> None:
 
         cfg = ExperimentConfig(tpu=TPUConfig(scene_batch=S, donate_state=False, compute_dtype="bfloat16",
                                              packed_chain=args.packed_chain,
-                                             packed_slots=args.packed_slots))
+                                             packed_slots=args.packed_slots,
+                                             remat=args.remat))
         trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
         state = trainer.init_state(jax.random.key(0), batch)
         key = jax.random.key(1)
@@ -195,6 +203,8 @@ def main() -> None:
             path += "+packed_chain"
         if args.packed_slots:
             path += "+packed_slots"
+        if args.remat:
+            path += "+remat"
     elif args.serving:
         path = "serving+sa1_cache"
         if args.serving_fused:

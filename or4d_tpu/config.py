@@ -146,14 +146,18 @@ class TPUConfig:
     mesh_data: int = -1            # data-parallel mesh axis size; -1 = all devices
     mesh_model: int = 1            # edge/object-axis model-parallel size
     compute_dtype: str = "float32"  # "bfloat16" for the matmul-heavy path
-    remat: bool = False             # jax.checkpoint over encoder stages
+    # jax.checkpoint over the train forward: recompute activations in the
+    # VJP instead of saving the chain's multi-GB hiddens (exact; trades
+    # ~one extra fwd of FLOPs for the HBM that OOMs S=16 — PERF.md round-7)
+    remat: bool = False
     donate_state: bool = True
     # lane-pack C<128 grouped planes through the train BN/MLP chain (exact;
     # opt-in until measured on-chip — SetAbstractionMSG.packed_chain)
     packed_chain: bool = False
     # kernel-emitted slot-pair lane packing for the train-path chain (exact;
-    # opt-in until measured on-chip — SetAbstractionMSG.packed_slots)
-    packed_slots: bool = False
+    # measured 2026-08-19 at S=8: 700 vs 707 ms/batch — small consistent win,
+    # never loses — SetAbstractionMSG.packed_slots)
+    packed_slots: bool = True
     # solo-sorted per-scale eval kernels (exact; opt-in until measured —
     # SetAbstractionMSG.per_scale_sort)
     per_scale_sort: bool = False

@@ -100,8 +100,8 @@ class Trainer:
         if self.cfg.dataset.data_augmentation:
             batch = augment_batch(aug_key, batch)
 
-        def loss_fn(params):
-            outputs, mutated = self.model.apply(
+        def fwd(params):
+            return self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,
                 train=True,
@@ -109,6 +109,17 @@ class Trainer:
                 rngs={"dropout": drop_key},
                 mutable=["batch_stats"],
             )
+
+        if self.cfg.tpu.remat:
+            # trade FLOPs for HBM: recompute the forward in the VJP instead
+            # of saving the encoder chain's multi-GB hidden activations
+            # (at S=16 those temps alone are 4.5G + 2x2.25G — PERF.md).
+            # apply() is pure (batch_stats mutation is functionalized), so
+            # jax.checkpoint is exact.
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            outputs, mutated = fwd(params)
             loss, parts = sgpn_loss(outputs, batch, self._w_obj, self._w_rel, self.cfg.model.lambda_o)
             return loss, (parts, mutated.get("batch_stats", {}), outputs.rel_logprobs)
 

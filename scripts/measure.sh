@@ -36,11 +36,12 @@ fi
 run python bench.py --scenes 8
 run python bench.py --scenes 16
 run python bench.py --scenes 32
-# 4. train-path numbers (A/B packed_slots at S=8 and S=16; packed_chain
-#    measured -10% on 2026-08-18 and was dropped from the sequence)
+# 4. train-path numbers (packed_slots is the measured 2026-08-19 default:
+#    700 vs 707 ms at S=8; S=16 still OOMs at 20.7G even packed — the
+#    4.5G+2x2.25G saved chain activations need remat work first.
+#    packed_chain measured -10% on 2026-08-18 and was dropped)
 run python bench.py --train --scenes 8
-run python bench.py --train --scenes 8 --packed-slots
-run python bench.py --train --scenes 16 --packed-slots
+run python bench.py --train --scenes 8 --no-packed-slots
 # 5. serving mode: precomputed SA1 geometry (separate, clearly-labeled
 #    metric — fixed-eval-set / validate-every-epoch access pattern)
 run python bench.py --serving --scenes 16

@@ -34,6 +34,10 @@ BUDGETS = {
     # blockdiag W1 — the direction-pair-sharing eval path (PERF.md round-5).
     # 2026-08-18 measured 104.4 ms.
     "sa1_rel_v4_paired": 115.0,
+    # paired kernel in v4 raw mode (the bench DEFAULT since 2026-08-19): the
+    # kernel takes the paired layer-1 weight + one channel-major raw plane
+    # and materializes A in VMEM (PERF.md round-7). None = record only.
+    "sa1_rel_v4_paired_raw": None,
 }
 
 
@@ -110,7 +114,42 @@ def main() -> int:
         pxyz, pq, pparams, pbounds,
     )
 
-    results = {"fps_with_counts": t_fps, "sa1_rel_v4": t_sa1, "sa1_rel_v4_paired": t_paired}
+    # raw-mode paired stage — what the model actually feeds the kernel on
+    # the default bench path since 2026-08-19 (models/pointnet2.py paired
+    # branch): C0=7 raw channels [xyz|rgb|m_fwd] + the pair's m_rev as an
+    # 8th channel, W0 tiled per direction with the mask row routed to its
+    # half, Bq duplicated across the pair.
+    C0 = 7
+    raw = jax.device_put(
+        jnp.asarray(rng.standard_normal((prows, C0 + 1, 8000)).astype(np.float32)).astype(jnp.bfloat16)
+    )
+    rparams = []
+    for A, Bq, a0, b0, W1, a1, b1 in params:
+        c1, c2 = W1.shape
+        W0 = jnp.asarray(rng.standard_normal((C0, c1)).astype(np.float32)).astype(jnp.bfloat16)
+        z = jnp.zeros_like(W0[C0 - 1 : C0])
+        W0p = jnp.concatenate([
+            jnp.concatenate([W0[: C0 - 1], W0[: C0 - 1]], axis=1),
+            jnp.concatenate([W0[C0 - 1 : C0], z], axis=1),
+            jnp.concatenate([z, W0[C0 - 1 : C0]], axis=1),
+        ], axis=0)
+        W1b = jnp.zeros((2 * c1, 2 * c2), W1.dtype).at[:c1, :c2].set(W1).at[c1:, c2:].set(W1)
+        rparams.append((
+            W0p, jnp.concatenate([Bq[:prows], Bq[:prows]], axis=-1),
+            jnp.concatenate([a0, a0]), jnp.concatenate([b0, b0]),
+            W1b,
+            jnp.concatenate([a1, a1]), jnp.concatenate([b1, b1]),
+        ))
+    rparams = tuple(rparams)
+    jax.block_until_ready(rparams)
+    t_praw = timeit(
+        lambda x, nq, p, b, r: ball_query_group_mlp_pallas_v4(
+            scales, x, nq, p, b, False, None, 32, True, r),
+        pxyz, pq, rparams, pbounds, raw,
+    )
+
+    results = {"fps_with_counts": t_fps, "sa1_rel_v4": t_sa1,
+               "sa1_rel_v4_paired": t_paired, "sa1_rel_v4_paired_raw": t_praw}
     ok = True
     for k, v in results.items():
         budget = BUDGETS[k]

@@ -118,6 +118,26 @@ class TestTrainLoop:
                 assert rel in DEFAULT_VOCAB.relation_names and rel != "none"
                 assert isinstance(sub, str) and isinstance(obj, str)
 
+    def test_remat_step_matches_plain(self, trainer_and_state):
+        """TPUConfig.remat (jax.checkpoint over the train forward) is exact:
+        one step from the same state produces the same loss, params, and
+        batch_stats — remat only changes WHEN activations are (re)computed,
+        never what is computed."""
+        trainer, state, batch = trainer_and_state
+        cfg_r = tiny_cfg(remat=True)
+        trainer_r = Trainer(cfg_r, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
+        key = jax.random.key(7)
+        s_plain, parts_plain, _ = trainer.train_step(state, batch, key)
+        s_remat, parts_remat, _ = trainer_r.train_step(state, batch, key)
+        np.testing.assert_allclose(
+            float(parts_plain["loss"]), float(parts_remat["loss"]), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
+                        jax.tree_util.tree_leaves(s_remat.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s_plain.batch_stats),
+                        jax.tree_util.tree_leaves(s_remat.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
     def test_checkpoint_roundtrip(self, trainer_and_state, tmp_path):
         from or4d_tpu.train import checkpoint as ckpt
 
