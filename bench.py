@@ -39,15 +39,17 @@ def main() -> None:
         help="extend eval pair sharing to the rel encoder's SA2 (exact; A/B knob)",
     )
     ap.add_argument(
-        "--packed-chain", action="store_true",
-        help="lane-pack C=64 grouped planes through the train BN/MLP chain (exact; A/B knob)",
-    )
-    ap.add_argument(
         "--packed-slots", action=argparse.BooleanOptionalAction, default=True,
         help="kernel-emitted slot-pair lane packing for the train chain "
              "(exact; the no-relayout successor to --packed-chain; measured "
              "2026-08-19 S=8: 700 vs 707 ms — default on, --no-packed-slots "
              "for the A/B)",
+    )
+    ap.add_argument(
+        "--train-raw", action="store_true",
+        help="raw-mode train kernels for SA1: A planes materialized in VMEM, "
+             "dW0 accumulated in-kernel — the multi-GB A/dA HBM planes never "
+             "exist (exact for parameter training; A/B knob until measured)",
     )
     ap.add_argument(
         "--remat", action="store_true",
@@ -72,11 +74,6 @@ def main() -> None:
              "(or4d_tpu/serving.py) — reported as a SEPARATE metric "
              "(sg_serving_scenes_per_sec), not the cold-path headline",
     )
-    ap.add_argument(
-        "--serving-fused", action="store_true",
-        help="serving: fused VMEM kernel for the cached-plane SA1 chain "
-             "(ops/pallas_serving_mlp.py; exact A/B knob)",
-    )
     args = ap.parse_args()
     import jax
 
@@ -91,7 +88,8 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    # train S=16 OOMs HBM (27G/15.75G measured 2026-08-18); eval peaks at 32
+    # train S=16 OOMs HBM without --remat (20.7G/15.75G measured 2026-08-19);
+    # eval peaks at S=64 under v4 raw mode (32 was the pre-raw-mode peak)
     S = args.scenes if args.scenes is not None else (8 if args.train else 64)
     ds = DatasetConfig()  # paper shapes: 12 obj x 4000 pts, 132 edges x 8000 pts
     # pair_shared: both directions of a relation pair sample the same union
@@ -105,7 +103,7 @@ def main() -> None:
     model = SGPN(
         num_classes=12, num_relations=15, compute_dtype=jnp.bfloat16,
         paired_sa2=args.paired_sa2, per_scale_sort=args.per_scale_sort,
-        eval_subtile=args.eval_subtile, serving_fused=args.serving_fused,
+        eval_subtile=args.eval_subtile,
     )
     variables = jax.jit(
         lambda b: model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, b, train=False)
@@ -134,9 +132,9 @@ def main() -> None:
         from or4d_tpu.train.loop import Trainer
 
         cfg = ExperimentConfig(tpu=TPUConfig(scene_batch=S, donate_state=False, compute_dtype="bfloat16",
-                                             packed_chain=args.packed_chain,
                                              packed_slots=args.packed_slots,
-                                             remat=args.remat))
+                                             remat=args.remat,
+                                             train_raw=args.train_raw))
         trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
         state = trainer.init_state(jax.random.key(0), batch)
         key = jax.random.key(1)
@@ -199,16 +197,14 @@ def main() -> None:
     # number (a silent fallback must be visible in the parsed JSON)
     if args.train:
         path = "train"
-        if args.packed_chain:
-            path += "+packed_chain"
         if args.packed_slots:
             path += "+packed_slots"
         if args.remat:
             path += "+remat"
+        if args.train_raw:
+            path += "+train_raw"
     elif args.serving:
         path = "serving+sa1_cache"
-        if args.serving_fused:
-            path += "+fused_kernel"
     else:
         path = "eval"
         path += "+paired" if paired else "+UNPAIRED_FALLBACK"

@@ -151,9 +151,6 @@ class TPUConfig:
     # ~one extra fwd of FLOPs for the HBM that OOMs S=16 — PERF.md round-7)
     remat: bool = False
     donate_state: bool = True
-    # lane-pack C<128 grouped planes through the train BN/MLP chain (exact;
-    # opt-in until measured on-chip — SetAbstractionMSG.packed_chain)
-    packed_chain: bool = False
     # kernel-emitted slot-pair lane packing for the train-path chain (exact;
     # measured 2026-08-19 at S=8: 700 vs 707 ms/batch — small consistent win,
     # never loses — SetAbstractionMSG.packed_slots)
@@ -163,9 +160,14 @@ class TPUConfig:
     per_scale_sort: bool = False
     # two-gate sub-tile rows for the fused eval kernels (exact tuning knob)
     eval_subtile: int = 32
-    # fused serving-SA1 kernel for cached-plane eval (exact; opt-in until
-    # measured — SetAbstractionMSG.serving_fused)
-    serving_fused: bool = False
+    # raw-mode train kernels for SA1: layer-1 A planes materialized in VMEM,
+    # dW0 accumulated in-kernel — the multi-GB A/dA HBM planes never exist
+    # (exact for parameter training; PointNet2MSGEncoder.train_raw).
+    # Opt-in until measured on-chip (bench --train-raw).
+    train_raw: bool = False
+    # (deleted knobs, measured losers — PERF.md round-8: packed_chain −10%
+    # at train S=8 [XLA repack relayout]; serving_fused −26% at serving S=16
+    # [XLA already fuses the slot max]. Do not rebuild without new data.)
 
 
 @dataclasses.dataclass(frozen=True)

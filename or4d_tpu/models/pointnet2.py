@@ -107,32 +107,26 @@ class DelayedSharedMLP(nn.Module):
         Bq = self.dense_layers[0](pad_q)  # (B, M, C1)
         return A, Bq
 
-    def post(self, gathered, Bq, mask=None, train: bool = True, slot_major: bool = False, packed: int = 1,
-             slot_packed: bool = False):
+    def post(self, gathered, Bq, mask=None, train: bool = True, slot_major: bool = False, packed: int = 1):
         """BN/ReLU + the remaining conv layers on the grouped tensor —
         (B, M, ns, C), or (B, ns, M, C) when ``slot_major`` (the gated train
         kernel's native layout; BN statistics are axis-order invariant).
 
-        ``packed > 1`` (slot-major only): ``gathered`` is
-        (B, ns, M/packed, packed*C) — consecutive query rows packed into the
-        lane axis so every chain tensor rides full 128-lane tiles (a C=64
-        plane otherwise wastes half its HBM tiles on lane padding). BN folds
-        lane statistics back per channel; each conv applies
-        blockdiag(W, ..., W) — exact up to float reassociation. The caller
-        unpacks after pooling. ``Bq`` stays (B, M, C).
+        ``packed > 1`` (slot-major only): the lane groups are SLOT pairs —
+        ``gathered`` is (B, ns/packed, M, packed*C), the gated kernel's
+        pack_slots layout, so every chain tensor rides full 128-lane tiles
+        (a C=64 plane otherwise wastes half its HBM tiles on lane padding).
+        ``Bq`` stays (B, M, C) and tiles across the lane groups; BN folds
+        lane statistics back per channel (same multiset); each conv applies
+        blockdiag(W, ..., W) — exact up to float reassociation.
 
-        ``slot_packed`` (with packed > 1): the lane groups are SLOT pairs —
-        (B, ns/packed, M, packed*C), the gated kernel's pack_slots layout —
-        so Bq tiles across the lane groups instead of folding M rows; BN
-        fold/blockdiag apply are identical (same multiset per channel)."""
-        if packed > 1 and slot_packed:
+        (A query-row-folding variant of the lane packing — ``packed_chain``,
+        (B, ns, M/p, p*C) with an XLA repack — measured −10% on-chip
+        2026-08-18 and was deleted; the kernel-emitted slot-pair layout is
+        the surviving form. PERF.md round-6/8.)"""
+        if packed > 1:
             assert slot_major, "packed chain is defined for the slot-major layout"
             Bqp = jnp.concatenate([Bq] * packed, axis=-1)  # (B, M, packed*C)
-            h = gathered - Bqp[:, None, :, :]
-        elif packed > 1:
-            assert slot_major, "packed chain is defined for the slot-major layout"
-            B, M, C = Bq.shape
-            Bqp = Bq.reshape(B, M // packed, packed * C)
             h = gathered - Bqp[:, None, :, :]
         else:
             h = gathered - (Bq[:, None, :, :] if slot_major else Bq[:, :, None, :])
@@ -208,13 +202,6 @@ class SetAbstractionMSG(nn.Module):
     # two-gate sub-tiling for the fused eval kernel (rows per gate group;
     # 0 = static unroll). Exact — see ball_query_group_mlp_pallas.
     eval_subtile: int = 32
-    # pack (M, C<128) grouped planes as (M/p, p*C) through the train-path
-    # BN/MLP chain so every chain tensor rides full 128-lane HBM tiles (a
-    # 64-wide bf16 plane otherwise wastes half its tiles on lane padding,
-    # PERF.md round-4). Exact up to BN reassociation; opt-in until measured.
-    # MEASURED 2026-08-18: loses 10% at S=8 — the XLA repack relayout costs
-    # more than the padding traffic it saves. Superseded by packed_slots.
-    packed_chain: bool = False
     # packed_slots: the gated train kernel EMITS slot pairs lane-packed —
     # (B, ns/2, M, 2C) — so the C=64 chain rides full 128-lane tiles with NO
     # XLA relayout (the repack that sank packed_chain). Exact up to BN
@@ -227,12 +214,15 @@ class SetAbstractionMSG(nn.Module):
     # the second argsort. Exact (order never affects results); opt-in until
     # measured on-chip.
     per_scale_sort: bool = False
-    # serving fast path: run the cached-plane MLP chain + slot max in one
-    # VMEM kernel instead of the XLA chain, which materializes multi-GB
-    # grouped intermediates in HBM (ops/pallas_serving_mlp.py). Exact (same
-    # folded-affine arithmetic as the fused eval kernel; the slot max is
-    # associative); opt-in until measured on-chip.
-    serving_fused: bool = False
+    # raw-mode TRAIN kernels (the eval v4 raw analogue): the gated train
+    # kernel materializes the layer-1 A planes in VMEM from the channel-major
+    # raw [p|f] plane, and its VJP accumulates dW0 = raw^T @ dA in-kernel —
+    # the multi-GB A (fwd) and f32 dA (bwd) HBM planes never exist.
+    # COTANGENT CONTRACT: features receive ZERO gradient through the kernel
+    # (exact for parameter training only when features are MODEL INPUTS);
+    # the encoder enables this for SA1 only — SA2+ features carry gradients
+    # and must keep the non-raw path.
+    train_raw: bool = False
 
     @staticmethod
     def _pad_pre_inputs(xyz, features):
@@ -282,35 +272,14 @@ class SetAbstractionMSG(nn.Module):
         if cache is not None:
             # serving: FPS/ball query precomputed (or4d_tpu/serving.py) —
             # only the weights-dependent MLP chain runs
+            # (a fused VMEM kernel for this chain — serving_fused — measured
+            # −26% on-chip 2026-08-18: XLA fuses the slot max itself; deleted,
+            # PERF.md round-8)
             mlps_c = [
                 DelayedSharedMLP(sc.mlp, radius=sc.radius, nsample=sc.nsample,
                                  dtype=self.dtype, name=f"mlp_{si}")
                 for si, sc in enumerate(self.scales)
             ]
-            kernel_ok = (
-                self.serving_fused
-                and not train
-                and (jax.default_backend() == "tpu" or self.kernel_interpret)
-                and all(len(sc.mlp) == 2 for sc in self.scales)
-            )
-            if kernel_ok:
-                from or4d_tpu.ops.pallas_serving_mlp import serving_sa1_mlp_pallas
-
-                outs = []
-                for m, g in zip(mlps_c, cache.grouped):
-                    C0 = g.shape[-1]
-                    W0 = m.dense_layers[0](jnp.eye(C0, dtype=self.dtype))
-                    pad_q = jnp.concatenate(
-                        [cache.new_xyz.astype(self.dtype),
-                         jnp.zeros(cache.new_xyz.shape[:-1] + (C0 - 3,), self.dtype)],
-                        axis=-1,
-                    )
-                    Bq = m.dense_layers[0](pad_q)  # (B, M, C1)
-                    a0, b0, W1, a1, b1 = m.fused_eval_params()
-                    outs.append(serving_sa1_mlp_pallas(
-                        g, Bq, W0, a0, b0, W1, a1, b1, self.kernel_interpret
-                    ))
-                return cache.new_xyz, jnp.concatenate(outs, axis=-1)
             outs = [
                 jnp.max(m.from_grouped(g, cache.new_xyz, mask=mask, train=train), axis=2)
                 for m, g in zip(mlps_c, cache.grouped)
@@ -336,15 +305,21 @@ class SetAbstractionMSG(nn.Module):
             and xyz.shape[1] > _CHUNK
             and (not eval_kernel or all(len(sc.mlp) == 2 for sc in self.scales))
         )
+        # "sa_kernel" tags: the selective-remat policy in train/loop.py saves
+        # these kernel results across the VJP, so rematerialization recomputes
+        # only the cheap BN/MLP chain — never the selection/FPS kernels
+        from jax.ad_checkpoint import checkpoint_name
+
         if use_v4:
             from or4d_tpu.ops.pallas_fps import furthest_point_sample_with_counts
 
             idx, counts = furthest_point_sample_with_counts(
                 xyz, self.npoint, tuple(r for r, _ns in scale_spec), self.kernel_interpret
             )
+            counts = tuple(checkpoint_name(c, "sa_kernel") for c in counts)
         else:
             idx = ops.furthest_point_sample(xyz, self.npoint)
-        idx = jax.lax.stop_gradient(idx)
+        idx = checkpoint_name(jax.lax.stop_gradient(idx), "sa_kernel")
         new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # (B, npoint, 3)
 
         mlps = [
@@ -470,7 +445,6 @@ class SetAbstractionMSG(nn.Module):
                 return new_xyz, jnp.concatenate(outs, axis=-1)
             # training: grouped layer-1 features in one kernel, BN/ReLU +
             # later layers on the grouped tensors for exact batch statistics
-            pres = [m.pre(xyz, features, new_xyz) for m in mlps]
             if counts is not None:
                 # gated train path: queries sorted by the exact composite
                 # key so the two-gate fires; BN/MLP/maxpool run in sorted
@@ -481,6 +455,7 @@ class SetAbstractionMSG(nn.Module):
                 from or4d_tpu.ops.pallas_ball_query import (
                     _counts_to_bounds,
                     ball_query_group_pallas_gated,
+                    ball_query_group_pallas_gated_raw,
                     bounds_order_key_argsort,
                 )
 
@@ -495,43 +470,57 @@ class SetAbstractionMSG(nn.Module):
                 # packed_slots: kernel emits slot pairs lane-packed
                 # (B, ns/2, M, 2C) — full-lane chain with no XLA relayout
                 ps = self.packed_slots and all(
-                    sc.nsample % 2 == 0 and A.shape[-1] < 128 for sc, (A, _) in zip(self.scales, pres)
+                    sc.nsample % 2 == 0 and sc.mlp[0] < 128 for sc in self.scales
                 )
-                grouped = ball_query_group_pallas_gated(
-                    scale_spec, xyz, q_sorted, tuple(A for A, _ in pres),
-                    bounds_sorted, self.kernel_interpret, ps,
-                )
+                if self.train_raw:
+                    # raw mode: the A planes never exist in HBM (fwd builds
+                    # them in VMEM, the VJP emits dW0 directly); legal here
+                    # because this module's features are model inputs (the
+                    # encoder sets train_raw on SA1 only — see the field doc)
+                    C0 = 3 + (features.shape[-1] if features is not None else 0)
+                    raw = (
+                        jnp.concatenate([xyz, features], axis=-1)
+                        if features is not None else xyz
+                    ).astype(self.dtype).transpose(0, 2, 1)  # (B, C0, N)
+                    grouped = ball_query_group_pallas_gated_raw(
+                        scale_spec, xyz, q_sorted,
+                        tuple(m.w0_matrix(C0) for m in mlps), raw,
+                        bounds_sorted, self.kernel_interpret, ps,
+                    )
+                    bqs = [m.bq_term(new_xyz, C0) for m in mlps]
+                else:
+                    pres = [m.pre(xyz, features, new_xyz) for m in mlps]
+                    grouped = ball_query_group_pallas_gated(
+                        scale_spec, xyz, q_sorted, tuple(A for A, _ in pres),
+                        bounds_sorted, self.kernel_interpret, ps,
+                    )
+                    bqs = [Bq for _, Bq in pres]
+                grouped = tuple(checkpoint_name(g, "sa_kernel") for g in grouped)
                 # grouped tensors are SLOT-MAJOR (B, ns, M, C) — BN/MLP run
                 # in that layout (stats reduce over every non-channel axis,
                 # so axis order is irrelevant), maxpool over axis 1, and only
-                # the pooled (B, M, C2) result is un-permuted. packed_chain
-                # additionally folds p=128/C rows into the lane axis for the
-                # whole chain (exact; see DelayedSharedMLP.post).
+                # the pooled (B, M, C2) result is un-permuted.
                 outs = []
-                for m, g, (_, Bq) in zip(mlps, grouped, pres):
+                for m, g, Bq in zip(mlps, grouped, bqs):
                     Bqs = jnp.take_along_axis(Bq, order[..., None], axis=1)
                     if ps:
-                        h = m.post(g, Bqs, mask=mask, train=train, slot_major=True,
-                                   packed=2, slot_packed=True)
+                        h = m.post(g, Bqs, mask=mask, train=train, slot_major=True, packed=2)
                         pooled = jnp.max(h, axis=1)  # (B, M, 2*C2) — small
                         C2 = pooled.shape[-1] // 2
                         # slot max finishes across the lane pair (exact:
                         # max is commutative/associative)
                         pooled = jnp.maximum(pooled[..., :C2], pooled[..., C2:])
-                        outs.append(jnp.take_along_axis(pooled, inv_order[..., None], axis=1))
-                        continue
-                    Bb, ns, M, C = g.shape
-                    p = 128 // C if (self.packed_chain and 128 % C == 0 and C < 128 and M % (128 // C) == 0) else 1
-                    if p > 1:
-                        g = g.reshape(Bb, ns, M // p, p * C)
-                    h = m.post(g, Bqs, mask=mask, train=train, slot_major=True, packed=p)
-                    pooled = jnp.max(h, axis=1)  # (B, M/p, p*C2)
-                    if p > 1:
-                        pooled = pooled.reshape(Bb, M, pooled.shape[-1] // p)
+                    else:
+                        h = m.post(g, Bqs, mask=mask, train=train, slot_major=True)
+                        pooled = jnp.max(h, axis=1)  # (B, M, C2)
                     outs.append(jnp.take_along_axis(pooled, inv_order[..., None], axis=1))
                 return new_xyz, jnp.concatenate(outs, axis=-1)
-            grouped = ball_query_group_pallas(
-                scale_spec, xyz, new_xyz, tuple(A for A, _ in pres), self.kernel_interpret
+            pres = [m.pre(xyz, features, new_xyz) for m in mlps]
+            grouped = tuple(
+                checkpoint_name(g, "sa_kernel")
+                for g in ball_query_group_pallas(
+                    scale_spec, xyz, new_xyz, tuple(A for A, _ in pres), self.kernel_interpret
+                )
             )
             outs = [
                 jnp.max(m.post(g, Bq, mask=mask, train=train), axis=2)
@@ -540,7 +529,10 @@ class SetAbstractionMSG(nn.Module):
             return new_xyz, jnp.concatenate(outs, axis=-1)
 
         # XLA fallback: one fused distance pass serves every scale
-        scale_idx = ball_query_multiscale(scale_spec, xyz, new_xyz)
+        scale_idx = tuple(
+            checkpoint_name(i, "sa_kernel")
+            for i in ball_query_multiscale(scale_spec, xyz, new_xyz)
+        )
         outs = [
             jnp.max(m(xyz, features, new_xyz, jax.lax.stop_gradient(scale_idx[si]), mask=mask, train=train), axis=2)
             for si, m in enumerate(mlps)
@@ -592,9 +584,6 @@ class PointNet2MSGEncoder(nn.Module):
     # unchanged — C doubles while rows halve — only the per-row fixed work
     # halves, so the win is expected small).
     paired_sa2: bool = False
-    # lane-pack C<128 grouped planes through the train-path BN/MLP chain
-    # (exact; opt-in until measured — see SetAbstractionMSG.packed_chain)
-    packed_chain: bool = False
     # kernel-emitted slot-pair lane packing for the train chain (exact;
     # opt-in until measured — see SetAbstractionMSG.packed_slots)
     packed_slots: bool = False
@@ -603,9 +592,11 @@ class PointNet2MSGEncoder(nn.Module):
     per_scale_sort: bool = False
     # two-gate sub-tile rows (exact; tuning knob — see SetAbstractionMSG)
     eval_subtile: int = 32
-    # fused serving-SA1 kernel (exact; opt-in until measured — see
-    # SetAbstractionMSG.serving_fused)
-    serving_fused: bool = False
+    # raw-mode train kernels for SA1 (whose features are model inputs, so
+    # the kernel's zero-feature-cotangent contract is exact for parameter
+    # training — see SetAbstractionMSG.train_raw). SA2+ keep the non-raw
+    # path: their features carry gradients. Opt-in until measured on-chip.
+    train_raw: bool = False
 
     @nn.compact
     def __call__(self, pc, mask=None, train: bool = True, paired: bool = False, sa1_cache=None):
@@ -622,9 +613,8 @@ class PointNet2MSGEncoder(nn.Module):
         Off the kernel path the directions are interleaved up front and the
         standard encoder runs — same results, no sharing."""
         knobs = dict(fused_mode=self.fused_mode, kernel_interpret=self.kernel_interpret,
-                     packed_chain=self.packed_chain, packed_slots=self.packed_slots,
-                     per_scale_sort=self.per_scale_sort,
-                     eval_subtile=self.eval_subtile, serving_fused=self.serving_fused)
+                     packed_slots=self.packed_slots,
+                     per_scale_sort=self.per_scale_sort, eval_subtile=self.eval_subtile)
         sa1 = SetAbstractionMSG(
             npoint=self.sa_npoints[0],
             scales=(
@@ -633,6 +623,7 @@ class PointNet2MSGEncoder(nn.Module):
             ),
             dtype=self.dtype,
             name="sa1",
+            train_raw=self.train_raw,
             **knobs,
         )
         sa2 = SetAbstractionMSG(

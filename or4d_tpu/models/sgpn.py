@@ -65,9 +65,6 @@ class SGPN(nn.Module):
     # extend eval pair sharing to the rel encoder's SA2 (exact; opt-in until
     # measured on-chip — see PointNet2MSGEncoder.paired_sa2)
     paired_sa2: bool = False
-    # lane-pack C<128 grouped planes through the train-path BN/MLP chain
-    # (exact; opt-in until measured — see SetAbstractionMSG.packed_chain)
-    packed_chain: bool = False
     # kernel-emitted slot-pair lane packing for the train chain (exact;
     # opt-in until measured — see SetAbstractionMSG.packed_slots)
     packed_slots: bool = False
@@ -76,9 +73,9 @@ class SGPN(nn.Module):
     per_scale_sort: bool = False
     # two-gate sub-tile rows for the fused eval kernels (exact tuning knob)
     eval_subtile: int = 32
-    # fused serving-SA1 kernel for cached-plane eval (exact; opt-in until
-    # measured — see SetAbstractionMSG.serving_fused)
-    serving_fused: bool = False
+    # raw-mode train kernels for SA1 (exact for parameter training — see
+    # PointNet2MSGEncoder.train_raw); opt-in until measured on-chip
+    train_raw: bool = False
     # MULTI_REL_OUTPUTS (reference network_PointNet.py:274-318
     # PointNetRelClsMulti): sigmoid multi-label relation head — rel_logprobs
     # then carries per-relation probabilities, trained with weighted BCE
@@ -100,11 +97,10 @@ class SGPN(nn.Module):
             compute_dtype=jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32,
             sa_npoints=tuple(cfg.model.sa_npoints),
             sa_nsamples=tuple(tuple(s) for s in cfg.model.sa_nsamples),
-            packed_chain=cfg.tpu.packed_chain,
             packed_slots=cfg.tpu.packed_slots,
             per_scale_sort=cfg.tpu.per_scale_sort,
             eval_subtile=cfg.tpu.eval_subtile,
-            serving_fused=cfg.tpu.serving_fused,
+            train_raw=cfg.tpu.train_raw,
             multi_rel_outputs=cfg.model.multi_rel_outputs,
         )
 
@@ -174,10 +170,9 @@ class SGPN(nn.Module):
             )
 
         enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples,
-                   dtype=self.compute_dtype, packed_chain=self.packed_chain,
-                   packed_slots=self.packed_slots,
+                   dtype=self.compute_dtype, packed_slots=self.packed_slots,
                    per_scale_sort=self.per_scale_sort, eval_subtile=self.eval_subtile,
-                   serving_fused=self.serving_fused)
+                   train_raw=self.train_raw)
         obj_cache, rel_cache = sa1_caches if sa1_caches is not None else (None, None)
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
             obj_flat, mask=obj_rows_mask, train=train, sa1_cache=obj_cache

@@ -1212,7 +1212,8 @@ def ball_query_group_mlp_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int, pack_slots: bool = False):
+def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int, pack_slots: bool = False,
+                             from_raw: bool = False):
     """Grouped-feature kernel with the v4 gating machinery: emits the full
     (tm, ns, C) grouped tensors (train path needs them for exact batch-stat
     BN), but distances/prefixes/selections only run on the chunks the exact
@@ -1224,16 +1225,26 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int, pack_slots
     of every bf16 tile is lane padding otherwise; the XLA repack that
     `packed_chain` pays for is free here because the kernel writes the
     packed layout directly). Values are identical — slot s lives in lane
-    half s%2 of pair s//2."""
+    half s%2 of pair s//2.
+
+    from_raw: the per-scale A operand is the LAYER-1 WEIGHT (C0, C1) and one
+    shared channel-major raw [xyz|feat] plane (1, C0, nch, CHUNK) rides in
+    after the bounds; each program materializes its A planes in VMEM (same
+    bf16-in/f32-acc arithmetic as the XLA dense), so the multi-GB HBM A
+    planes never exist on the TRAIN path either (the eval analogue is
+    `_make_group_mlp_kernel_v4`'s from_raw)."""
     S = len(scales)
     PC = _CHUNK // 2
     halves = _CHUNK // PC
 
     def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *rest):
-        A_refs = rest[0:S]
+        A_refs = rest[0:S]  # from_raw: per-scale W0 (1, C0, C1)
         bounds_refs = rest[S : 2 * S]
-        out_refs = rest[2 * S : 3 * S]  # per scale (1, ns[/2], tm, C[*2]) slot-major
-        rank_ref = rest[3 * S]  # (nch, subtile, CHUNK) f32 scratch
+        nin = 2 * S + (1 if from_raw else 0)
+        raw_ref = rest[2 * S] if from_raw else None  # (1, C0, nch, CHUNK)
+        out_refs = rest[nin : nin + S]  # per scale (1, ns[/2], tm, C[*2]) slot-major
+        rank_ref = rest[nin + S]  # (nch, subtile, CHUNK) f32 scratch
+        a_scr_refs = rest[nin + S + 1 :] if from_raw else ()  # (nch, CHUNK, C1)
 
         tri = _tri_inclusive(jnp.bfloat16, PC)
         qx = qx_ref[0].reshape(tm, 1)
@@ -1258,14 +1269,28 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int, pack_slots
             return jnp.concatenate(parts, axis=1), off
 
         for s, (radius, nsample) in enumerate(scales):
-            A_ref = A_refs[s]  # (1, nch, CHUNK, C)
             out_ref = out_refs[s]  # (1, ns, tm, C) — slot-major: a (32, C)
             # store per (slot, subtile) is a contiguous-sublane write; the
             # query-major layout needs an unsupported strided shape cast.
             # pack_slots: (1, ns/2, tm, 2C) — slot pairs concatenated into
             # lanes in-register (offset-0 values only), one aligned store
-            A_dtype = A_ref.dtype
-            C = A_ref.shape[-1]
+            A_dtype = A_refs[s].dtype
+            if from_raw:
+                # materialize this scale's A plane in VMEM from the shared
+                # channel-major raw plane (contraction over the C0 sublane
+                # dim — the proven v4-eval from_raw pattern)
+                W0 = A_refs[s][0]
+                C = W0.shape[-1]
+                for cp in range(nch):
+                    a_scr_refs[s][cp] = jax.lax.dot_general(
+                        raw_ref[0, :, cp], W0,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(A_dtype)
+                A_get = lambda ch, s=s: a_scr_refs[s][ch]
+            else:
+                C = A_refs[s].shape[-1]
+                A_get = lambda ch, A_ref=A_refs[s]: A_ref[0, ch]
             r2s = radius * radius
             bounds = bounds_refs[s][0]  # (tm, 2) [need, thr]
             nslots = nsample // 2 if pack_slots else nsample
@@ -1291,10 +1316,10 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int, pack_slots
                     )
 
                 @pl.when(use_chunk)
-                def _chunk(rs=rs, h=h, A_ref=A_ref, out_ref=out_ref, r2s=r2s):
+                def _chunk(rs=rs, h=h, A_get=A_get, out_ref=out_ref, r2s=r2s):
                     def body(ch, carry):
                         rank, carry = chunk_ranks(ch, rs, carry, r2s)
-                        a_ch = A_ref[0, ch]
+                        a_ch = A_get(ch)
                         if pack_slots:
                             for j in range(nsample // 2):
                                 d = jnp.concatenate(
@@ -1313,7 +1338,7 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int, pack_slots
                     jax.lax.fori_loop(0, h, body, jnp.zeros((subtile, 1), jnp.float32))
 
                 @pl.when(jnp.logical_not(use_chunk))
-                def _slot(rs=rs, cap=cap, A_ref=A_ref, out_ref=out_ref, r2s=r2s):
+                def _slot(rs=rs, cap=cap, A_get=A_get, out_ref=out_ref, r2s=r2s):
                     # straggler tiles: all nch chunks, cap slots; rank planes
                     # built once per subtile with a static chunk loop
                     carry = jnp.zeros((subtile, 1), jnp.float32)
@@ -1329,8 +1354,8 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int, pack_slots
                             kf1 = (2 * i + 2).astype(jnp.float32)
                             acc0 = acc1 = None
                             for ch in range(nch):
-                                d0 = sel_dot(rank_ref[ch], kf0, A_ref[0, ch])
-                                d1 = sel_dot(rank_ref[ch], kf1, A_ref[0, ch])
+                                d0 = sel_dot(rank_ref[ch], kf0, A_get(ch))
+                                d1 = sel_dot(rank_ref[ch], kf1, A_get(ch))
                                 acc0 = d0 if acc0 is None else acc0 + d0
                                 acc1 = d1 if acc1 is None else acc1 + d1
                             out_ref[0, i, rs] = jnp.concatenate(
@@ -1344,7 +1369,7 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int, pack_slots
                             kf = (i + 1).astype(jnp.float32)
                             acc = None
                             for ch in range(nch):
-                                d = sel_dot(rank_ref[ch], kf, A_ref[0, ch])
+                                d = sel_dot(rank_ref[ch], kf, A_get(ch))
                                 acc = d if acc is None else acc + d
                             out_ref[0, i, rs] = acc.astype(out_ref.dtype)
                             return c
@@ -1378,11 +1403,20 @@ def _make_group_kernel_gated(scales, tm: int, subtile: int, nch: int, pack_slots
     return kernel
 
 
-def _make_group_bwd_kernel_gated(scales, tm: int, subtile: int, nch: int):
+def _make_group_bwd_kernel_gated(scales, tm: int, subtile: int, nch: int,
+                                 from_raw: bool = False):
     """Backward of the gated grouping kernel: dA[s] += sel^T @ g with the
     same two-gate chunk scanning (sel is zero outside each query's bound by
     construction, so skipping those chunks is exact). First-hit-fill grad
-    routing (invalid slots' grads to slot 1) matches the ungated bwd."""
+    routing (invalid slots' grads to slot 1) matches the ungated bwd.
+
+    from_raw: dA accumulates in VMEM scratch instead of an HBM output, and
+    each batch row's last grid step folds it straight into the tiny
+    per-scale dW0 = sum_ch raw_ch @ dA_ch output ((C0, C1), one revisited
+    block shared by every program) — the multi-GB f32 dA planes never exist
+    in HBM and XLA's downstream input^T @ dA matmul disappears. Exact up to
+    f32 reassociation (per-chunk partial sums instead of one flat
+    contraction)."""
     S = len(scales)
     PC = _CHUNK // 2
     halves = _CHUNK // PC
@@ -1390,18 +1424,39 @@ def _make_group_bwd_kernel_gated(scales, tm: int, subtile: int, nch: int):
     def kernel(qx_ref, qy_ref, qz_ref, x_ref, y_ref, z_ref, *rest):
         g_refs = rest[0:S]
         bounds_refs = rest[S : 2 * S]
-        dA_refs = rest[2 * S : 3 * S]
-        rank_ref = rest[3 * S]
+        nin = 2 * S + (1 if from_raw else 0)
+        raw_ref = rest[2 * S] if from_raw else None  # (1, C0, nch, CHUNK)
+        out_refs = rest[nin : nin + S]  # dA (1, nch, CHUNK, C) | dW0 (1, C0, C1)
+        rank_ref = rest[nin + S]
+        dA_scr_refs = rest[nin + S + 1 :] if from_raw else ()  # (nch, CHUNK, C) f32
 
         tri = _tri_inclusive(jnp.bfloat16, PC)
         qx = qx_ref[0].reshape(tm, 1)
         qy = qy_ref[0].reshape(tm, 1)
         qz = qz_ref[0].reshape(tm, 1)
 
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            for r in dA_refs:
-                r[0] = jnp.zeros_like(r[0])
+        if from_raw:
+            @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+            def _():
+                for r in out_refs:
+                    r[0] = jnp.zeros_like(r[0])
+
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                for scr in dA_scr_refs:
+                    for ch in range(nch):
+                        scr[ch] = jnp.zeros(scr.shape[1:], scr.dtype)
+
+            def dA_add(s, ch, v):
+                dA_scr_refs[s][ch] += v
+        else:
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                for r in out_refs:
+                    r[0] = jnp.zeros_like(r[0])
+
+            def dA_add(s, ch, v):
+                out_refs[s][0, ch] += v
 
         def chunk_ranks(ch, rs, carry, r2):
             dx = qx[rs] - x_ref[0, ch]
@@ -1422,7 +1477,6 @@ def _make_group_bwd_kernel_gated(scales, tm: int, subtile: int, nch: int):
 
         for s, (radius, nsample) in enumerate(scales):
             g_ref = g_refs[s]  # (1, ns, tm, C) slot-major
-            dA_ref = dA_refs[s]  # (1, nch, CHUNK, C)
             r2s = radius * radius
             bounds = bounds_refs[s][0]
 
@@ -1445,7 +1499,7 @@ def _make_group_bwd_kernel_gated(scales, tm: int, subtile: int, nch: int):
                 gks = [g_first] + [graw[k - 1] * (1.0 - inv[k - 1]) for k in range(2, nsample + 1)]
 
                 @pl.when(use_chunk)
-                def _chunk(rs=rs, h=h, gks=gks, dA_ref=dA_ref, r2s=r2s):
+                def _chunk(rs=rs, h=h, gks=gks, s=s, r2s=r2s):
                     def body(ch, carry):
                         rank, carry = chunk_ranks(ch, rs, carry, r2s)
                         acc = None
@@ -1456,13 +1510,13 @@ def _make_group_bwd_kernel_gated(scales, tm: int, subtile: int, nch: int):
                                 preferred_element_type=jnp.float32,
                             )  # (CHUNK, C)
                             acc = d if acc is None else acc + d
-                        dA_ref[0, ch] += acc.astype(dA_ref.dtype)
+                        dA_add(s, ch, acc)
                         return carry
 
                     jax.lax.fori_loop(0, h, body, jnp.zeros((subtile, 1), jnp.float32))
 
                 @pl.when(jnp.logical_not(use_chunk))
-                def _slot(rs=rs, cap=cap, gks=gks, dA_ref=dA_ref, r2s=r2s):
+                def _slot(rs=rs, cap=cap, gks=gks, s=s, r2s=r2s):
                     carry = jnp.zeros((subtile, 1), jnp.float32)
                     for ch in range(nch):
                         rank_ref[ch], carry = chunk_ranks(ch, rs, carry, r2s)
@@ -1477,13 +1531,30 @@ def _make_group_bwd_kernel_gated(scales, tm: int, subtile: int, nch: int):
                             gk = gk + gks[k] * (i == k).astype(jnp.float32)
                         for ch in range(nch):
                             sel = (rank_ref[ch] == kf).astype(jnp.float32)
-                            dA_ref[0, ch] += jax.lax.dot_general(
+                            dA_add(s, ch, jax.lax.dot_general(
                                 sel, gk, dimension_numbers=(((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                            ).astype(dA_ref.dtype)
+                            ))
                         return c
 
                     jax.lax.fori_loop(0, cap, slot_body, 0)
+
+        if from_raw:
+            # fold this batch row's accumulated dA into dW0 on its LAST grid
+            # step (grid iterates m innermost; the shared dW0 block then
+            # accumulates across rows — TPU grid steps are sequential)
+            @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+            def _flush():
+                for s in range(S):
+                    acc = None
+                    for ch in range(nch):
+                        d = jax.lax.dot_general(
+                            raw_ref[0, :, ch].astype(jnp.float32), dA_scr_refs[s][ch],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (C0, C1)
+                        acc = d if acc is None else acc + d
+                    out_refs[s][0] += acc
 
     return kernel
 
@@ -1668,6 +1739,191 @@ def _bqgg_bwd(scales, interpret, pack_slots, res, gs):
 ball_query_group_pallas_gated.defvjp(_bqgg_fwd, _bqgg_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7))
+def ball_query_group_pallas_gated_raw(
+    scales: tuple[tuple[float, int], ...],
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    w0s: tuple[jax.Array, ...],
+    raw: jax.Array,
+    bounds: tuple[tuple[jax.Array, jax.Array], ...],
+    interpret: bool = False,
+    pack_slots: bool = False,
+) -> tuple[jax.Array, ...]:
+    """Raw-mode gated grouped ball query (train path).
+
+    Same selection semantics and slot-major outputs as
+    :func:`ball_query_group_pallas_gated`, but instead of per-scale HBM A
+    planes it takes each scale's LAYER-1 WEIGHT ``w0s[s]`` (C0, C1) plus ONE
+    shared CHANNEL-MAJOR ``raw`` (B, C0, N[p]) zero-padded [xyz|features]
+    plane: the forward materializes A per chunk in VMEM (same bf16-in/
+    f32-acc arithmetic as the XLA dense it replaces), and the backward
+    accumulates dW0 = raw^T @ dA in-kernel — the multi-GB A (fwd) and f32 dA
+    (bwd) planes never exist in HBM.
+
+    COTANGENT CONTRACT: gradients flow to ``w0s`` exactly (up to f32
+    reassociation); ``raw``/``xyz``/``new_xyz`` receive ZERO cotangents.
+    That is exact for parameter training when the raw channels are MODEL
+    INPUTS (SA1 — xyz already gets zeros in the non-raw VJP because
+    selection is piecewise-constant in it). Callers whose features carry
+    gradients (SA2+) must use the non-raw path; `SetAbstractionMSG` gates
+    this via its `train_raw` field.
+    """
+    return _bqggr_forward(scales, xyz, new_xyz, w0s, raw, bounds, interpret, pack_slots)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def _bqggr_forward(scales, xyz, new_xyz, w0s, raw, bounds, interpret, pack_slots=False):
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    Np = _round_up(N, _CHUNK)
+    nch = Np // _CHUNK
+    tm = min(512, _round_up(M, 128))
+    Mp = _round_up(M, tm)
+    G = Mp // tm
+    subtile = 32
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+
+    sup = [
+        jnp.pad(xyz[..., i], ((0, 0), (0, Np - N)), constant_values=1e12).reshape(B, nch, 1, _CHUNK)
+        for i in range(3)
+    ]
+    qry = [jnp.pad(new_xyz[..., i], ((0, 0), (0, Mp - M))).reshape(B * G, 1, tm) for i in range(3)]
+    assert raw.shape[-1] in (N, Np), (raw.shape, N, Np)
+    raw_p = jnp.pad(raw, ((0, 0), (0, 0), (0, Np - raw.shape[-1]))).reshape(B, raw.shape[1], nch, _CHUNK)
+    w0_in = [w0[None] for w0 in w0s]  # (1, C0, C1)
+    bnds = [
+        jnp.pad(jnp.stack([need, thr], axis=-1), ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, 2)
+        for need, thr in bounds
+    ]
+
+    grid = (B, G)
+    qspec = pl.BlockSpec((1, 1, tm), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, nch, 1, _CHUNK), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    w0_specs = [
+        pl.BlockSpec(w.shape, lambda b, m: (0, 0, 0), memory_space=pltpu.VMEM) for w in w0_in
+    ]
+    raw_spec = pl.BlockSpec((1, raw_p.shape[1], nch, _CHUNK), lambda b, m: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, tm, 2), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    if pack_slots:
+        assert all(ns % 2 == 0 and w.shape[-1] < 128 for (_, ns), w in zip(scales, w0s)), (
+            "pack_slots needs even nsample and C < 128")
+    sdim = lambda ns: ns // 2 if pack_slots else ns
+    cdim = lambda w: w.shape[-1] * 2 if pack_slots else w.shape[-1]
+    out_specs = tuple(
+        pl.BlockSpec((1, sdim(ns), tm, cdim(w)), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM)
+        for (_, ns), w in zip(scales, w0s)
+    )
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((B, sdim(ns), Mp, cdim(w)), w.dtype) for (_, ns), w in zip(scales, w0s)
+    )
+
+    outs = pl.pallas_call(
+        _make_group_kernel_gated(scales, tm, subtile, nch, pack_slots, from_raw=True),
+        grid=grid,
+        in_specs=[qspec, qspec, qspec, sspec, sspec, sspec, *w0_specs, *[bspec] * len(scales), raw_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((nch, subtile, _CHUNK), jnp.float32),
+            *[pltpu.VMEM((nch, _CHUNK, w.shape[-1]), w.dtype) for w in w0s],
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*qry, *sup, *w0_in, *bnds, raw_p)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    return tuple(o[:, :, :M] for o in outs)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def _bqggr_backward_impl(scales, xyz, new_xyz, gs, raw, bounds, interpret):
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    Np = _round_up(N, _CHUNK)
+    nch = Np // _CHUNK
+    tm = min(512, _round_up(M, 128))
+    Mp = _round_up(M, tm)
+    G = Mp // tm
+    # same fwd/bwd subtile asymmetry as the non-raw bwd (see
+    # _bqgg_backward_impl): the bwd dots contract over the subtile axis
+    subtile = min(128, tm)
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    sup = [
+        jnp.pad(xyz[..., i], ((0, 0), (0, Np - N)), constant_values=1e12).reshape(B, nch, 1, _CHUNK)
+        for i in range(3)
+    ]
+    qry = [jnp.pad(new_xyz[..., i], ((0, 0), (0, Mp - M))).reshape(B * G, 1, tm) for i in range(3)]
+    gpad = [jnp.pad(g, ((0, 0), (0, 0), (0, Mp - M), (0, 0))) for g in gs]
+    raw_p = jnp.pad(raw, ((0, 0), (0, 0), (0, Np - raw.shape[-1]))).reshape(B, raw.shape[1], nch, _CHUNK)
+    bnds = [
+        jnp.pad(jnp.stack([need, thr], axis=-1), ((0, 0), (0, Mp - M), (0, 0))).reshape(B * G, tm, 2)
+        for need, thr in bounds
+    ]
+
+    grid = (B, G)
+    qspec = pl.BlockSpec((1, 1, tm), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, nch, 1, _CHUNK), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    gspecs = [
+        pl.BlockSpec((1, g.shape[1], tm, g.shape[3]), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM)
+        for g in gpad
+    ]
+    raw_spec = pl.BlockSpec((1, raw_p.shape[1], nch, _CHUNK), lambda b, m: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, tm, 2), lambda b, m: (b * G + m, 0, 0), memory_space=pltpu.VMEM)
+    C0 = raw.shape[1]
+    cs = [g.shape[-1] for g in gs]
+    out_specs = tuple(
+        pl.BlockSpec((1, C0, c), lambda b, m: (0, 0, 0), memory_space=pltpu.VMEM) for c in cs
+    )
+    out_shapes = tuple(jax.ShapeDtypeStruct((1, C0, c), jnp.float32) for c in cs)
+    outs = pl.pallas_call(
+        _make_group_bwd_kernel_gated(scales, tm, subtile, nch, from_raw=True),
+        grid=grid,
+        in_specs=[qspec, qspec, qspec, sspec, sspec, sspec, *gspecs, *[bspec] * len(scales), raw_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((nch, subtile, _CHUNK), jnp.float32),
+            *[pltpu.VMEM((nch, _CHUNK, c), jnp.float32) for c in cs],
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*qry, *sup, *gpad, *bnds, raw_p)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    return tuple(o[0] for o in outs)
+
+
+def _bqggr_fwd(scales, xyz, new_xyz, w0s, raw, bounds, interpret, pack_slots=False):
+    out = _bqggr_forward(scales, xyz, new_xyz, w0s, raw, bounds, interpret, pack_slots)
+    # () dtype tokens so the bwd can cast dW0 to the primal w0 dtypes
+    return out, (xyz, new_xyz, raw, bounds, tuple(jnp.zeros((), w.dtype) for w in w0s))
+
+
+def _bqggr_bwd(scales, interpret, pack_slots, res, gs):
+    xyz, new_xyz, raw, bounds, w0_tokens = res
+    if pack_slots:
+        gs = tuple(
+            jnp.stack([g[..., : g.shape[-1] // 2], g[..., g.shape[-1] // 2 :]], axis=2)
+            .reshape(g.shape[0], g.shape[1] * 2, g.shape[2], g.shape[-1] // 2)
+            for g in gs
+        )
+    dW0 = _bqggr_backward_impl(scales, xyz, new_xyz, tuple(gs), raw, bounds, interpret)
+    dW0 = tuple(d.astype(t.dtype) for d, t in zip(dW0, w0_tokens))
+    zb = tuple((jnp.zeros_like(n), jnp.zeros_like(t)) for n, t in bounds)
+    # zero cotangents for xyz/new_xyz (selection is piecewise-constant in
+    # them, matching the non-raw VJP) and for raw (inputs-only contract —
+    # see the primal docstring)
+    return jnp.zeros_like(xyz), jnp.zeros_like(new_xyz), dW0, jnp.zeros_like(raw), zb
+
+
+ball_query_group_pallas_gated_raw.defvjp(_bqggr_fwd, _bqggr_bwd)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
 def ball_query_group_mlp_pallas_v4(
     scales: tuple[tuple[float, int], ...],
@@ -1689,8 +1945,10 @@ def ball_query_group_mlp_pallas_v4(
     Results are bit-identical to the static kernel. Other arguments as in
     :func:`ball_query_group_mlp_pallas`.
 
-    ``raw``: (B, N[p], C0) zero-row-padded [xyz|features] plane shared by
-    all scales. When given, ``scale_params[s][0]`` is the scale's LAYER-1
+    ``raw``: (B, C0, N[p]) CHANNEL-MAJOR zero-padded [xyz|features] plane
+    shared by all scales (channel-minor would pad C0 to 128 lanes in HBM —
+    see the layout comment at the assert below). When given,
+    ``scale_params[s][0]`` is the scale's LAYER-1
     WEIGHT (C0, C1) instead of its A plane: each program computes its A in
     VMEM (same bf16-input/f32-accumulate arithmetic as the XLA dense), so
     the multi-GB HBM A planes never exist — per bench batch ~10 GB of HBM

@@ -111,12 +111,19 @@ class Trainer:
             )
 
         if self.cfg.tpu.remat:
-            # trade FLOPs for HBM: recompute the forward in the VJP instead
-            # of saving the encoder chain's multi-GB hidden activations
-            # (at S=16 those temps alone are 4.5G + 2x2.25G — PERF.md).
-            # apply() is pure (batch_stats mutation is functionalized), so
-            # jax.checkpoint is exact.
-            fwd = jax.checkpoint(fwd)
+            # SELECTIVE remat: save the Pallas kernel outputs (tagged
+            # "sa_kernel" at their call sites in models/pointnet2.py — FPS,
+            # gated/ungated grouping) and recompute everything else (the
+            # BN/MLP chain hiddens, 4.5G + 2x2.25G at S=16) in the VJP.
+            # Whole-forward jax.checkpoint measured 2026-08-19 at S=8:
+            # 994 vs 700 ms (−29%, it replays the selection kernels) AND
+            # left the S=16 peak at the same 20.69G (single-segment remat
+            # saves nothing when the segment is the whole forward) — the
+            # policy form is the surviving variant. apply() is pure
+            # (batch_stats mutation is functionalized), so this is exact.
+            fwd = jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies.save_only_these_names("sa_kernel")
+            )
 
         def loss_fn(params):
             outputs, mutated = fwd(params)

@@ -120,13 +120,52 @@ def import_sgpn_state_dict(state_dict: dict[str, Any], variables: dict) -> dict:
                 map_linear(f"{head}.{fc}", (dst_head, fc))
                 handled.update({f"{head}.{fc}.weight", f"{head}.{fc}.bias"})
 
+    # Image branch (the with-images paper checkpoint,
+    # scene_graph_prediction_model.py:49-57,98-102): `full_image_model.*` is
+    # the timm tf_efficientnet_b5_ns trunk (retrained conv_head included) and
+    # `full_image_feature_reduction.*` the per-camera 2048 -> emb//6 Linear.
+    has_image_keys = any(k.startswith("full_image_model.") for k in state_dict)
+    if has_image_keys and "image_branch" in params:
+        from or4d_tpu.models.efficientnet import timm_parameter_mapping
+
+        for timm_key, collection, path, kind in timm_parameter_mapping():
+            src = f"full_image_model.{timm_key}"
+            if src not in state_dict:
+                raise KeyError(f"with-images checkpoint missing {src}")
+            a = _to_np(state_dict[src])
+            if kind == "conv":
+                a = a.transpose(2, 3, 1, 0)  # OIHW -> HWIO (depthwise incl.)
+            _set(params if collection == "params" else stats, ("image_branch",) + path, a)
+            handled.add(src)
+        handled.update(
+            k for k in state_dict
+            if k.startswith("full_image_model.") and k.endswith("num_batches_tracked")
+        )
+        map_linear("full_image_feature_reduction", ("image_branch", "reduction"))
+        handled.update({"full_image_feature_reduction.weight", "full_image_feature_reduction.bias"})
+    elif "image_branch" in params and not has_image_keys:
+        raise KeyError(
+            "model has an image branch (use_image) but the checkpoint carries no "
+            "full_image_model.* keys — this is a no-images checkpoint; evaluate it "
+            "with a no-images config instead"
+        )
+
+    # Only `weights_*` (the wrapper's registered loss-weight buffers, not
+    # trained state) and BN bookkeeping counters are silently skippable; any
+    # other unmapped key — including full_image.* trained weights when the
+    # model has no image branch — must warn loudly.
     for key in state_dict:
-        if key not in handled and not key.startswith(("full_image", "weights_")):
+        if key not in handled and not (
+            key.startswith("weights_") or key.endswith("num_batches_tracked")
+        ):
             unused.append(key)
     if unused:
         import warnings
 
-        warnings.warn(f"unmapped reference keys: {unused[:10]}{'...' if len(unused) > 10 else ''}")
+        warnings.warn(
+            f"import_sgpn_state_dict: {len(unused)} reference keys were NOT mapped "
+            f"(trained state dropped!): {unused[:10]}{'...' if len(unused) > 10 else ''}"
+        )
 
     out = {"params": params}
     if stats:

@@ -48,8 +48,8 @@ run python bench.py --serving --scenes 16
 run python bench.py --serving --scenes 32
 run python bench.py --serving --scenes 64
 # 6. A/B knobs (exact, opt-in; last so a compile failure cannot cost the
-#    main numbers): SA2 pair sharing, solo-sorted per-scale kernels
-run python bench.py --serving --scenes 16 --serving-fused
+#    main numbers). serving_fused and packed_chain were DELETED in round 5
+#    (measured −26% / −10%, PERF.md round-8).
 run python bench.py --scenes 16 --paired-sa2
 # DO NOT re-add --per-scale-sort or --eval-subtile 64 here: both CRASH the
 # TPU worker (kernel fault, 2026-08-18 measure_r4 + r4b logs) and poison

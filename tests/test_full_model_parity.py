@@ -39,7 +39,10 @@ ENC_SPECS = {
 }
 
 
-def build_state_dict(rng) -> dict:
+def build_state_dict(rng, image_embedding_size: int = 0) -> dict:
+    """Reference-layout SGPNModelWrapper state_dict (no-images by default;
+    `image_embedding_size` widens rel fc3 the way PointNetRelCls does when
+    IMAGE_INPUT == 'full', network_PointNet.py:287)."""
     sd = {}
 
     def conv_bn(prefix, cin, cout):
@@ -76,7 +79,32 @@ def build_state_dict(rng) -> dict:
     linear("obj_predictor.fc3", 256, 12)
     linear("rel_predictor.fc1", 256, 512)
     linear("rel_predictor.fc2", 512, 256)
-    linear("rel_predictor.fc3", 256 + 12, 15)
+    linear("rel_predictor.fc3", 256 + image_embedding_size + 12, 15)
+    return sd
+
+
+def add_full_image_keys(sd: dict, rng, image_branch_params, image_branch_stats) -> dict:
+    """Synthesize the with-images checkpoint keys
+    (scene_graph_prediction_model.py:50-57): `full_image_model.*` — the timm
+    tf_efficientnet_b5_ns trunk in torch layout — plus
+    `full_image_feature_reduction.{weight,bias}`. Shapes are derived from the
+    flax tree by inverting the importer's transposes."""
+    from or4d_tpu.models.efficientnet import timm_parameter_mapping
+
+    for timm_key, collection, path, kind in timm_parameter_mapping():
+        node = image_branch_params if collection == "params" else image_branch_stats
+        for p in path:
+            node = node[p]
+        a = (rng.standard_normal(np.shape(node)) * 0.05).astype(np.float32)
+        if kind == "conv":
+            a = a.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        elif timm_key.endswith("running_var"):
+            a = np.abs(a) + 0.8
+        sd[f"full_image_model.{timm_key}"] = a
+    red = image_branch_params["reduction"]
+    cin, cout = np.shape(red["kernel"])
+    sd["full_image_feature_reduction.weight"] = (rng.standard_normal((cout, cin)) * 0.05).astype(np.float32)
+    sd["full_image_feature_reduction.bias"] = (rng.standard_normal(cout) * 0.05).astype(np.float32)
     return sd
 
 
@@ -241,6 +269,143 @@ class TestTorchCheckpointThroughCLI:
                             cache_dir=cache, for_eval=True)
         native = trainer.predict_relations(state, eval_ds.batches(2))
         assert {k: [list(t) for t in v] for k, v in native.items()} == cli_rels
+
+
+class TestWithImagesCheckpointImport:
+    """Round-4 Missing #1: the with-images paper checkpoint route
+    (`paper_model_no_gt_with_images.pth`, reference README.md:84-85, loaded
+    raw at main.py:74-79). `full_image_model.*` (timm B5 trunk incl. the
+    retrained conv_head) and `full_image_feature_reduction.*` must land on
+    the flax ImageBranch — and any skipped trained key must warn loudly."""
+
+    EMB = 12  # FULL_IMAGE_EMBEDDING_SIZE for CI (reduction: 2048 -> 2)
+
+    @pytest.fixture(scope="class")
+    def built(self, tmp_path_factory):
+        import json
+        import shutil
+
+        from or4d_tpu.config import load_config
+        from or4d_tpu.data.dataset import ORDataset
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+        from or4d_tpu.train.loop import Trainer
+
+        tmp_path = tmp_path_factory.mktemp("with_images")
+        root = tmp_path / "real_data"
+        shutil.copytree(Path(__file__).parent / "golden" / "real_data", root)
+        cfg_dict = {
+            "MAX_EPOCHES": 1, "LR": 1e-3, "USE_GT": True,
+            "IMAGE_INPUT": "full",
+            "MODEL": {"sa_npoints": list(SA_NPOINTS),
+                      "sa_nsamples": [[ns for _r, ns in sc] for sc in SA_SCALES],
+                      "IMAGE_MODEL": "tf_efficientnet_b5_ns",
+                      "IMAGE_SIZE": 24,
+                      "FULL_IMAGE_EMBEDDING_SIZE": self.EMB},
+            "dataset": {"num_points_objects": 96, "num_points_relation": 128,
+                        "data_augmentation": False},
+            "TPU": {"max_objects": 10, "max_edges": 90, "scene_batch": 2,
+                    "donate_state": False},
+        }
+        cfg_path = tmp_path / "tiny_image_pth.json"
+        cfg_path.write_text(json.dumps(cfg_dict))
+        cfg = load_config(str(cfg_path))
+        cache = tmp_path / "cache"
+        train_ds = ORDataset(cfg, "train", DEFAULT_VOCAB, data_root=root,
+                             cache_dir=cache, synthetic_fallback=False)
+        w_obj, w_rel = train_ds.weights()
+        trainer = Trainer(cfg, DEFAULT_VOCAB, w_obj, w_rel)
+        state = trainer.init_state(jax.random.key(5), next(train_ds.batches(2)))
+        variables = {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        rng = np.random.default_rng(17)
+        sd = build_state_dict(rng, image_embedding_size=self.EMB)
+        sd = add_full_image_keys(sd, rng,
+                                 variables["params"]["image_branch"],
+                                 variables["batch_stats"]["image_branch"])
+        return dict(tmp_path=tmp_path, root=root, cfg_path=cfg_path, cfg=cfg,
+                    cache=cache, trainer=trainer, state=state,
+                    variables=variables, sd=sd)
+
+    def test_import_round_trips_image_branch(self, built):
+        import warnings
+
+        sd, variables = built["sd"], built["variables"]
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any unmapped-key warning fails
+            imported = import_sgpn_state_dict(sd, variables)
+        ib = imported["params"]["image_branch"]
+        ibs = imported["batch_stats"]["image_branch"]
+        # trunk stem: OIHW -> HWIO round trip
+        np.testing.assert_array_equal(
+            np.asarray(ib["trunk"]["conv_stem"]["kernel"]),
+            sd["full_image_model.conv_stem.weight"].transpose(2, 3, 1, 0))
+        # the retrained conv_head (the whole point of the with-images route)
+        np.testing.assert_array_equal(
+            np.asarray(ib["trunk"]["conv_head"]["kernel"]),
+            sd["full_image_model.conv_head.weight"].transpose(2, 3, 1, 0))
+        # running stats land in batch_stats
+        np.testing.assert_array_equal(
+            np.asarray(ibs["trunk"]["bn_stem"]["mean"]),
+            sd["full_image_model.bn1.running_mean"])
+        # per-camera reducer (Linear transpose)
+        np.testing.assert_array_equal(
+            np.asarray(ib["reduction"]["kernel"]),
+            sd["full_image_feature_reduction.weight"].T)
+        np.testing.assert_array_equal(
+            np.asarray(ib["reduction"]["bias"]),
+            sd["full_image_feature_reduction.bias"])
+
+    def test_cli_evaluate_matches_native_import(self, built, capsys):
+        import json
+
+        from or4d_tpu import cli
+        from or4d_tpu.data.dataset import ORDataset
+        from or4d_tpu.data.vocab import DEFAULT_VOCAB
+
+        pth = built["tmp_path"] / "paper_model_no_gt_with_images.pth"
+        torch.save({k: torch.from_numpy(v) for k, v in built["sd"].items()}, pth)
+        assert cli.main([
+            "evaluate", "--config", str(built["cfg_path"]),
+            "--data-root", str(built["root"]), "--split", "train",
+            "--cache-dir", str(built["cache"]),
+            "--torch-checkpoint", str(pth),
+        ]) == 0
+        out = capsys.readouterr().out
+        assert "imported reference torch checkpoint" in out
+        cli_f1 = json.loads(out.strip().splitlines()[-1])["relation_macro_f1"]
+
+        # native path: same sd through import_sgpn_state_dict directly
+        state = built["state"]
+        imported = import_sgpn_state_dict(built["sd"], built["variables"])
+        state = state.replace(params=imported["params"],
+                              batch_stats=imported["batch_stats"])
+        eval_ds = ORDataset(built["cfg"], "train", DEFAULT_VOCAB,
+                            data_root=built["root"], cache_dir=built["cache"],
+                            pair_shared=True)
+        native_f1 = built["trainer"].evaluate(state, eval_ds.batches(2))
+        assert cli_f1 == pytest.approx(native_f1, abs=1e-9)
+
+    def test_with_images_sd_into_no_image_model_warns_loudly(self, built):
+        """Trained full_image.* weights that cannot land anywhere must warn
+        (the round-4 silent-skip bug)."""
+        tiny = DatasetConfig(num_points_objects=96, num_points_relation=128,
+                             max_objects=4, max_edges=12, data_augmentation=False)
+        batch = make_scene_batch(1, seed=7, n_objects=4, ds=tiny, points_per_obj=150)
+        model = SGPN(num_classes=12, num_relations=15, sa_npoints=SA_NPOINTS,
+                     sa_nsamples=tuple(tuple(ns for _r, ns in sc) for sc in SA_SCALES))
+        variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                               batch, train=False)
+        sd = {k: v for k, v in built["sd"].items()}
+        sd["rel_predictor.fc3.weight"] = np.random.default_rng(0).standard_normal(
+            (15, 256 + 12)).astype(np.float32) * 0.05  # no-image fc3 width
+        with pytest.warns(UserWarning, match="trained state dropped"):
+            import_sgpn_state_dict(sd, {"params": jax.device_get(variables["params"]),
+                                        "batch_stats": jax.device_get(variables["batch_stats"])})
+
+    def test_no_images_sd_into_image_model_raises(self, built):
+        sd = build_state_dict(np.random.default_rng(3), image_embedding_size=self.EMB)
+        with pytest.raises(KeyError, match="no-images checkpoint"):
+            import_sgpn_state_dict(sd, built["variables"])
 
 
 class TestFullModelActivationParity:

@@ -314,16 +314,75 @@ class TestFusedGroupMLPSorted:
         np.testing.assert_allclose(np.asarray(nx_k), np.asarray(nx_i), atol=1e-6)
         np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_i), rtol=1e-4, atol=1e-4)
 
-    def test_sa_stage_train_gated_packed_chain(self):
-        """packed_chain lane-packs the C<128 grouped planes through the
-        BN/MLP chain ((M, C) -> (M/p, p*C), folded BN stats, blockdiag
-        convs) — same outputs, same batch_stats, same grads up to
-        reassociation."""
+    def test_gated_group_raw_mode_parity(self):
+        """Raw-mode gated train kernel (VMEM A materialization + in-kernel
+        dW0 accumulation): forward values match the non-raw kernel, and the
+        dW0 cotangent matches autodiff through the explicit A = input @ W0
+        construction — plain and pack_slots layouts."""
+        import jax
+
+        from or4d_tpu.ops.pallas_ball_query import (
+            _counts_to_bounds,
+            ball_query_group_pallas_gated,
+            ball_query_group_pallas_gated_raw,
+            bounds_order_key_argsort,
+        )
+        from or4d_tpu.ops.pallas_fps import furthest_point_sample_with_counts
+
+        rng = np.random.default_rng(81)
+        B, N, M = 1, 1100, 256
+        scales = ((0.15, 4), (0.3, 6))
+        xyz = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((B, N, 4)).astype(np.float32))
+        idx, counts = furthest_point_sample_with_counts(
+            xyz, M, tuple(r for r, _ in scales), True)
+        q = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+        bounds = _counts_to_bounds(scales, tuple(counts))
+        order = bounds_order_key_argsort(scales, bounds)
+        q_s = jnp.take_along_axis(q, order[..., None], axis=1)
+        bounds_s = tuple(
+            (jnp.take_along_axis(nd, order, axis=1), jnp.take_along_axis(th, order, axis=1))
+            for nd, th in bounds
+        )
+        C0 = 7
+        w0s = tuple(jnp.asarray(rng.standard_normal((C0, c)).astype(np.float32))
+                    for c in (16, 24))
+        inp = jnp.concatenate([xyz, feats], axis=-1)
+        raw = inp.transpose(0, 2, 1)  # channel-major (B, C0, N)
+
+        for ps in (False, True):
+            g_non = ball_query_group_pallas_gated(
+                scales, xyz, q_s, tuple(inp @ w for w in w0s), bounds_s, True, ps)
+            g_raw = ball_query_group_pallas_gated_raw(
+                scales, xyz, q_s, w0s, raw, bounds_s, True, ps)
+            for a, b in zip(g_non, g_raw):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+            def loss_raw(ws, ps=ps):
+                outs = ball_query_group_pallas_gated_raw(
+                    scales, xyz, q_s, ws, raw, bounds_s, True, ps)
+                return sum(jnp.sum(jnp.sin(o)) for o in outs)
+
+            def loss_non(ws, ps=ps):
+                outs = ball_query_group_pallas_gated(
+                    scales, xyz, q_s, tuple(inp @ w for w in ws), bounds_s, True, ps)
+                return sum(jnp.sum(jnp.sin(o)) for o in outs)
+
+            gr = jax.grad(loss_raw)(w0s)
+            gn = jax.grad(loss_non)(w0s)
+            for a, b in zip(gr, gn):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3)
+
+    def test_sa_stage_train_raw_equivalence(self):
+        """SetAbstractionMSG(train_raw=True): same outputs, batch_stats and
+        PARAM gradients as the non-raw gated path (up to f32 reassociation);
+        feature cotangents are zero by contract (legal because the encoder
+        enables raw mode only where features are model inputs)."""
         import jax
 
         from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
 
-        rng = np.random.default_rng(62)
+        rng = np.random.default_rng(63)
         B, N = 2, 1100
         pc = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
         feats = jnp.asarray(rng.standard_normal((B, N, 5)).astype(np.float32))
@@ -331,26 +390,32 @@ class TestFusedGroupMLPSorted:
         kw = dict(npoint=128, scales=scales, fused_mode="train_kernel",
                   kernel_interpret=True, eval_subtile=32)
         plain = SetAbstractionMSG(**kw)
-        packed = SetAbstractionMSG(packed_chain=True, **kw)
+        rawm = SetAbstractionMSG(train_raw=True, **kw)
         v = plain.init(jax.random.key(0), pc, feats, train=True)
         (nx_p, f_p), mut_p = plain.apply(v, pc, feats, train=True, mutable=["batch_stats"])
-        (nx_k, f_k), mut_k = packed.apply(v, pc, feats, train=True, mutable=["batch_stats"])
-        np.testing.assert_allclose(np.asarray(nx_k), np.asarray(nx_p), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_p), rtol=1e-4, atol=1e-4)
-        for (kp, sp), (kk, sk) in zip(
+        (nx_r, f_r), mut_r = rawm.apply(v, pc, feats, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(nx_r), np.asarray(nx_p), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_p), rtol=1e-4, atol=1e-4)
+        for (kp, sp), (kr, sr) in zip(
             sorted(jax.tree_util.tree_leaves_with_path(mut_p["batch_stats"]), key=str),
-            sorted(jax.tree_util.tree_leaves_with_path(mut_k["batch_stats"]), key=str),
+            sorted(jax.tree_util.tree_leaves_with_path(mut_r["batch_stats"]), key=str),
         ):
-            assert str(kp) == str(kk)
-            np.testing.assert_allclose(np.asarray(sk), np.asarray(sp), rtol=1e-5, atol=1e-5)
+            assert str(kp) == str(kr)
+            np.testing.assert_allclose(np.asarray(sr), np.asarray(sp), rtol=1e-5, atol=1e-5)
 
-        def loss(mod, f):
-            _, out = mod.apply(v, pc, f, train=True, mutable=["batch_stats"])[0]
+        def loss(mod, params, f):
+            out = mod.apply({**v, "params": params}, pc, f, train=True,
+                            mutable=["batch_stats"])[0][1]
             return jnp.sum(out * out)
 
-        g_p = jax.grad(lambda f: loss(plain, f))(feats)
-        g_k = jax.grad(lambda f: loss(packed, f))(feats)
-        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_p), rtol=2e-3, atol=2e-3)
+        gp = jax.grad(lambda p: loss(plain, p, feats))(v["params"])
+        gr = jax.grad(lambda p: loss(rawm, p, feats))(v["params"])
+        for (kp, a), (kr, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(gp), key=str),
+            sorted(jax.tree_util.tree_leaves_with_path(gr), key=str),
+        ):
+            assert str(kp) == str(kr)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3)
 
     def test_gated_group_pack_slots_parity(self):
         """pack_slots emits (B, ns/2, M, 2C) slot pairs lane-packed; values

@@ -189,63 +189,6 @@ class TestServingVal:
         assert abs(run(True) - run(False)) < 1e-9
 
 
-class TestServingFusedKernel:
-    def test_fused_kernel_matches_xla_chain(self):
-        """serving_fused (interpret mode) must reproduce the XLA
-        from_grouped chain: same folded-affine arithmetic as the fused eval
-        kernel, slot max is exactly associative. Encoder-level check so the
-        probe-recovered W0/Bq/affines are exercised through real params."""
-        from or4d_tpu.models.pointnet2 import PointNet2MSGEncoder
-        from or4d_tpu.serving import build_sa1_cache
-
-        rng = np.random.default_rng(5)
-        pc = rng.standard_normal((6, 150, 7)).astype(np.float32)
-        plain_enc = PointNet2MSGEncoder(input_dim=7, sa_npoints=(32, 16),
-                                        sa_nsamples=((4, 8), (8, 8)))
-        variables = plain_enc.init({"params": jax.random.key(0)}, pc, train=False)
-        cache = build_sa1_cache(pc, 32, ((0.1, 4), (0.2, 8)))
-        plain = plain_enc.apply(variables, None, train=False, sa1_cache=cache)
-        fused_enc = PointNet2MSGEncoder(input_dim=7, sa_npoints=(32, 16),
-                                        sa_nsamples=((4, 8), (8, 8)),
-                                        serving_fused=True, kernel_interpret=True)
-        fused = fused_enc.apply(variables, None, train=False, sa1_cache=cache)
-        np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), rtol=0, atol=1e-4)
-
-    def test_fused_kernel_direct_parity(self):
-        """Direct kernel-vs-reference parity on random planes at a second
-        shape (M not a tile multiple exercises the pad/slice path)."""
-        import jax.numpy as jnp
-
-        from or4d_tpu.ops.pallas_serving_mlp import serving_sa1_mlp_pallas
-
-        rng = np.random.default_rng(3)
-        B, M, ns, C0, C1, C2 = 3, 20, 8, 10, 16, 24
-        g = rng.standard_normal((B, M, ns, C0)).astype(np.float32)
-        Bq = rng.standard_normal((B, M, C1)).astype(np.float32)
-        W0 = rng.standard_normal((C0, C1)).astype(np.float32)
-        W1 = rng.standard_normal((C1, C2)).astype(np.float32)
-        a0, b0 = rng.standard_normal(C1).astype(np.float32), rng.standard_normal(C1).astype(np.float32)
-        a1, b1 = rng.standard_normal(C2).astype(np.float32), rng.standard_normal(C2).astype(np.float32)
-        got = np.asarray(serving_sa1_mlp_pallas(
-            jnp.asarray(g), jnp.asarray(Bq), jnp.asarray(W0), jnp.asarray(a0),
-            jnp.asarray(b0), jnp.asarray(W1), jnp.asarray(a1), jnp.asarray(b1), True
-        ))
-        val = g @ W0  # (B, M, ns, C1)
-        h = np.maximum((val - Bq[:, :, None, :]) * a0 + b0, 0.0)
-        o = np.maximum((h @ W1) * a1 + b1, 0.0)
-        want = o.max(axis=2)
-        np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
-
-        # production dtypes: bf16 planes/kernels, f32 affines — same chain
-        # within bf16 rounding
-        got_bf = np.asarray(serving_sa1_mlp_pallas(
-            jnp.asarray(g).astype(jnp.bfloat16), jnp.asarray(Bq),
-            jnp.asarray(W0).astype(jnp.bfloat16), jnp.asarray(a0), jnp.asarray(b0),
-            jnp.asarray(W1).astype(jnp.bfloat16), jnp.asarray(a1), jnp.asarray(b1), True
-        ), dtype=np.float32)
-        np.testing.assert_allclose(got_bf, want, rtol=0.1, atol=0.5)
-
-
 class TestServingCLI:
     def test_evaluate_serving_cli(self, tmp_path, capsys):
         import json
