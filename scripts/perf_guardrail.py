@@ -36,8 +36,9 @@ BUDGETS = {
     "sa1_rel_v4_paired": 115.0,
     # paired kernel in v4 raw mode (the bench DEFAULT since 2026-08-19): the
     # kernel takes the paired layer-1 weight + one channel-major raw plane
-    # and materializes A in VMEM (PERF.md round-7). None = record only.
-    "sa1_rel_v4_paired_raw": None,
+    # and materializes A in VMEM (PERF.md round-7). 2026-08-19 measured
+    # 97.8 ms (round-5 guardrail run) + 10% grace.
+    "sa1_rel_v4_paired_raw": 108.0,
 }
 
 
