@@ -26,6 +26,9 @@ from or4d_tpu.models import SGPN
 from or4d_tpu.utils.torch_import import import_sgpn_state_dict
 from tests.reference_impls import ball_query_np, fps_np
 
+# full-suite lane only: multi-minute on the 1-core runner (pytest.ini)
+pytestmark = pytest.mark.slow
+
 SA_NPOINTS = (32, 16)
 SA_SCALES = (
     # SA1/SA2 (radius, nsample) pairs at CI sizes; widths are the paper's

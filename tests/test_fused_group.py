@@ -8,6 +8,10 @@ import jax.numpy as jnp
 
 from or4d_tpu.ops.ball_query import ball_query
 from or4d_tpu.ops.pallas_ball_query import ball_query_group_pallas
+import pytest
+
+# full-suite lane only: multi-minute on the 1-core runner (pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def _setup(seed=0, B=2, N=700, M=140, C=64):

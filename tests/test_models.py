@@ -11,6 +11,9 @@ from or4d_tpu.data.synthetic import make_scene_batch
 from or4d_tpu.models import SGPN, sgpn_loss
 from or4d_tpu.models.layers import MaskedBatchNorm
 
+# full-suite lane only: multi-minute on the 1-core runner (pytest.ini)
+pytestmark = pytest.mark.slow
+
 TINY = DatasetConfig(num_points_objects=128, num_points_relation=192, max_objects=5, max_edges=20)
 
 

@@ -11,6 +11,9 @@ from or4d_tpu.config import DatasetConfig
 from or4d_tpu.data.synthetic import make_scene_batch
 from or4d_tpu.models import SGPN
 
+# full-suite lane only: multi-minute on the 1-core runner (pytest.ini)
+pytestmark = pytest.mark.slow
+
 TINY = DatasetConfig(num_points_objects=96, num_points_relation=128, max_objects=4, max_edges=12)
 
 

@@ -21,6 +21,9 @@ import pytest
 from or4d_tpu import cli
 from or4d_tpu.config import OBJECT_LABEL_MAP
 
+# full-suite lane only: multi-minute on the 1-core runner (pytest.ini)
+pytestmark = pytest.mark.slow
+
 FIXTURE = Path(__file__).parent / "golden" / "real_data"
 
 

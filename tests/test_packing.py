@@ -8,6 +8,10 @@ from or4d_tpu.config import DatasetConfig
 from or4d_tpu.data.scene_batch import SlotPack
 from or4d_tpu.data.synthetic import make_scene_batch
 from or4d_tpu.models import SGPN
+import pytest
+
+# full-suite lane only: multi-minute on the 1-core runner (pytest.ini)
+pytestmark = pytest.mark.slow
 
 TINY = DatasetConfig(num_points_objects=96, num_points_relation=128, max_objects=5, max_edges=20)
 

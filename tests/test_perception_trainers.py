@@ -5,6 +5,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# full-suite lane only: multi-minute on the 1-core runner (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def _changed(a, b):
     return any(
