@@ -223,15 +223,6 @@ class SetAbstractionMSG(nn.Module):
     # the encoder enables this for SA1 only — SA2+ features carry gradients
     # and must keep the non-raw path.
     train_raw: bool = False
-    # Under the selective-remat policy (train/loop.py saves "sa_kernel"),
-    # remat_save=False tags this stage's grouped train-kernel planes
-    # "sa_kernel_cheap" instead, so the VJP RE-RUNS the grouping kernel
-    # rather than saving its multi-GB output across fwd->bwd. The encoder
-    # sets this on SA2: its single-chunk 512-support kernels are cheap to
-    # replay, while its saved planes (2.25G + 1.12G at S=16 train) were
-    # the HBM peak. FPS idx/counts stay saved — deterministic kernels make
-    # the replay bit-exact either way, but FPS replay would be expensive.
-    remat_save: bool = True
 
     @staticmethod
     def _pad_pre_inputs(xyz, features):
@@ -504,8 +495,7 @@ class SetAbstractionMSG(nn.Module):
                         bounds_sorted, self.kernel_interpret, ps,
                     )
                     bqs = [Bq for _, Bq in pres]
-                grouped_tag = "sa_kernel" if self.remat_save else "sa_kernel_cheap"
-                grouped = tuple(checkpoint_name(g, grouped_tag) for g in grouped)
+                grouped = tuple(checkpoint_name(g, "sa_kernel") for g in grouped)
                 # grouped tensors are SLOT-MAJOR (B, ns, M, C) — BN/MLP run
                 # in that layout (stats reduce over every non-channel axis,
                 # so axis order is irrelevant), maxpool over axis 1, and only
@@ -527,7 +517,7 @@ class SetAbstractionMSG(nn.Module):
                 return new_xyz, jnp.concatenate(outs, axis=-1)
             pres = [m.pre(xyz, features, new_xyz) for m in mlps]
             grouped = tuple(
-                checkpoint_name(g, "sa_kernel" if self.remat_save else "sa_kernel_cheap")
+                checkpoint_name(g, "sa_kernel")
                 for g in ball_query_group_pallas(
                     scale_spec, xyz, new_xyz, tuple(A for A, _ in pres), self.kernel_interpret
                 )
@@ -644,10 +634,6 @@ class PointNet2MSGEncoder(nn.Module):
             ),
             dtype=self.dtype,
             name="sa2",
-            # selective remat replays SA2's cheap single-chunk grouping
-            # kernel in the VJP instead of saving its multi-GB planes
-            # (the S=16 train HBM peak — see SetAbstractionMSG.remat_save)
-            remat_save=False,
             **knobs,
         )
         sa3 = SetAbstractionAll(mlp=(256, self.out_size), dtype=self.dtype, name="sa3")

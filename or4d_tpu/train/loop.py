@@ -111,13 +111,10 @@ class Trainer:
             )
 
         if self.cfg.tpu.remat:
-            # SELECTIVE remat: save the expensive Pallas kernel outputs
-            # (tagged "sa_kernel" at their call sites in models/pointnet2.py
-            # — FPS idx/counts, SA1's gated grouping) and recompute
-            # everything else in the VJP: the BN/MLP chain hiddens
-            # (4.5G + 2x2.25G at S=16) AND SA2's grouped planes (tagged
-            # "sa_kernel_cheap", 2.25G + 1.12G at S=16 — the post-remat HBM
-            # peak; its single-chunk 512-support kernels replay cheaply).
+            # SELECTIVE remat: save the Pallas kernel outputs (tagged
+            # "sa_kernel" at their call sites in models/pointnet2.py — FPS,
+            # gated/ungated grouping) and recompute everything else (the
+            # BN/MLP chain hiddens, 4.5G + 2x2.25G at S=16) in the VJP.
             # Whole-forward jax.checkpoint measured 2026-08-19 at S=8:
             # 994 vs 700 ms (−29%, it replays the selection kernels) AND
             # left the S=16 peak at the same 20.69G (single-segment remat

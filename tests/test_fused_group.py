@@ -421,45 +421,6 @@ class TestFusedGroupMLPSorted:
             assert str(kp) == str(kr)
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3)
 
-    def test_sa_stage_remat_cheap_replay_exact(self):
-        """remat_save=False (the encoder's SA2 setting): under the selective
-        policy save_only_these_names("sa_kernel"), the stage's grouped
-        planes carry the "sa_kernel_cheap" tag, so the VJP RE-RUNS the
-        gated grouping kernel instead of saving its output. The kernel is
-        deterministic, so outputs and gradients must be BIT-IDENTICAL to
-        the un-checkpointed stage (train/loop.py remat semantics)."""
-        import jax
-        from jax.ad_checkpoint import checkpoint_policies
-
-        from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
-
-        rng = np.random.default_rng(77)
-        B, N = 2, 1100
-        pc = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
-        feats = jnp.asarray(rng.standard_normal((B, N, 5)).astype(np.float32))
-        scales = (SAScale(0.15, 4, (16, 24)), SAScale(0.3, 6, (32, 16)))
-        mod = SetAbstractionMSG(
-            npoint=128, scales=scales, fused_mode="train_kernel",
-            kernel_interpret=True, eval_subtile=32, remat_save=False)
-        v = mod.init(jax.random.key(0), pc, feats, train=True)
-
-        def loss(params):
-            out = mod.apply({**v, "params": params}, pc, feats, train=True,
-                            mutable=["batch_stats"])[0][1]
-            return jnp.sum(out * out)
-
-        loss_r = jax.checkpoint(
-            loss, policy=checkpoint_policies.save_only_these_names("sa_kernel"))
-        lp, gp = jax.value_and_grad(loss)(v["params"])
-        lr, gr = jax.value_and_grad(loss_r)(v["params"])
-        assert float(lp) == float(lr)
-        for (kp, a), (kr, b) in zip(
-            sorted(jax.tree_util.tree_leaves_with_path(gp), key=str),
-            sorted(jax.tree_util.tree_leaves_with_path(gr), key=str),
-        ):
-            assert str(kp) == str(kr)
-            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
-
     def test_gated_group_pack_slots_parity(self):
         """pack_slots emits (B, ns/2, M, 2C) slot pairs lane-packed; values
         are bit-identical to the unpacked layout, and the custom VJP routes
