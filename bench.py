@@ -46,10 +46,18 @@ def main() -> None:
              "for the A/B)",
     )
     ap.add_argument(
-        "--train-raw", action="store_true",
+        "--train-raw", action=argparse.BooleanOptionalAction, default=True,
         help="raw-mode train kernels for SA1: A planes materialized in VMEM, "
              "dW0 accumulated in-kernel — the multi-GB A/dA HBM planes never "
-             "exist (exact for parameter training; A/B knob until measured)",
+             "exist (exact for parameter training; measured 2026-08-19 +4%% "
+             "at S=8 and unlocks the S=10 peak — default on)",
+    )
+    ap.add_argument(
+        "--train-per-scale-sort", action=argparse.BooleanOptionalAction, default=True,
+        help="solo-sorted per-scale TRAIN gated kernels — the eval "
+             "per_scale_sort analogue for the train fwd+bwd selection "
+             "kernels (exact up to BN-stat reassociation; measured "
+             "2026-08-19 12.83 vs 12.48 scenes/s at S=10 — default on)",
     )
     ap.add_argument(
         "--remat", action="store_true",
@@ -59,14 +67,16 @@ def main() -> None:
     ap.add_argument(
         "--eval-subtile", type=int, default=32,
         help="two-gate sub-tile rows in the fused eval kernels (exact tuning "
-             "knob). WARNING: 64 CRASHED the TPU worker on the paired path "
-             "(kernel fault, 2026-08-18) — needs an isolated investigation.",
+             "knob; 64 measured 66.5 vs 66.1 solo on 2026-08-19 — kept at 32, "
+             "see the per-scale-sort combo row in PERF.md). The 2026-08-18 "
+             "worker crash did not reproduce on the raw-mode kernels.",
     )
     ap.add_argument(
-        "--per-scale-sort", action="store_true",
-        help="solo-sorted per-scale eval kernels (exact; A/B knob). WARNING: "
-             "CRASHED the TPU worker on the paired path (kernel fault, "
-             "2026-08-18) — needs an isolated investigation.",
+        "--per-scale-sort", action=argparse.BooleanOptionalAction, default=True,
+        help="solo-sorted per-scale eval kernels (exact; measured 2026-08-19 "
+             "68.3 vs 66.1 scenes/s at the S=64 paired-raw default — default "
+             "on). The 2026-08-18 worker crash did not reproduce on the "
+             "raw-mode kernels (scripts/crash_repro.py + clean bench runs).",
     )
     ap.add_argument(
         "--serving", action="store_true",
@@ -89,8 +99,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     # train S=16 OOMs HBM without --remat (20.7G/15.75G measured 2026-08-19);
-    # eval peaks at S=64 under v4 raw mode (32 was the pre-raw-mode peak)
-    S = args.scenes if args.scenes is not None else (8 if args.train else 64)
+    # eval peaks at S=64 under v4 raw mode (S=96 measured 63.6 — down);
+    # train peaks at S=10 under raw-mode kernels (S>=11 OOMs HBM)
+    S = args.scenes if args.scenes is not None else (10 if args.train else 64)
     ds = DatasetConfig()  # paper shapes: 12 obj x 4000 pts, 132 edges x 8000 pts
     # pair_shared: both directions of a relation pair sample the same union
     # crop (direction-invariant by reference construction — data/prep.py), so
@@ -134,7 +145,8 @@ def main() -> None:
         cfg = ExperimentConfig(tpu=TPUConfig(scene_batch=S, donate_state=False, compute_dtype="bfloat16",
                                              packed_slots=args.packed_slots,
                                              remat=args.remat,
-                                             train_raw=args.train_raw))
+                                             train_raw=args.train_raw,
+                                             train_per_scale_sort=args.train_per_scale_sort))
         trainer = Trainer(cfg, DEFAULT_VOCAB, np.ones(12, np.float32), np.ones(15, np.float32))
         state = trainer.init_state(jax.random.key(0), batch)
         key = jax.random.key(1)
@@ -203,6 +215,8 @@ def main() -> None:
             path += "+remat"
         if args.train_raw:
             path += "+train_raw"
+        if args.train_per_scale_sort:
+            path += "+train_per_scale_sort"
     elif args.serving:
         path = "serving+sa1_cache"
     else:

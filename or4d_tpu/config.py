@@ -155,16 +155,27 @@ class TPUConfig:
     # measured 2026-08-19 at S=8: 700 vs 707 ms/batch — small consistent win,
     # never loses — SetAbstractionMSG.packed_slots)
     packed_slots: bool = True
-    # solo-sorted per-scale eval kernels (exact; opt-in until measured —
-    # SetAbstractionMSG.per_scale_sort)
-    per_scale_sort: bool = False
-    # two-gate sub-tile rows for the fused eval kernels (exact tuning knob)
+    # solo-sorted per-scale eval kernels (exact; measured 2026-08-19 at the
+    # S=64 paired-raw default: 68.3 vs 66.1 scenes/s — default ON. The
+    # 2026-08-18 worker crash did not reproduce on the raw-mode kernels:
+    # isolated repros (scripts/crash_repro.py) AND the full bench ran clean
+    # twice — SetAbstractionMSG.per_scale_sort)
+    per_scale_sort: bool = True
+    # two-gate sub-tile rows for the fused eval kernels (exact tuning knob;
+    # 64 measured 66.5 vs 66.1 solo but adds nothing over per_scale_sort)
     eval_subtile: int = 32
     # raw-mode train kernels for SA1: layer-1 A planes materialized in VMEM,
     # dW0 accumulated in-kernel — the multi-GB A/dA HBM planes never exist
     # (exact for parameter training; PointNet2MSGEncoder.train_raw).
-    # Opt-in until measured on-chip (bench --train-raw).
-    train_raw: bool = False
+    # Measured 2026-08-19: +4% at S=8 and unlocks the S=10 peak
+    # (12.38 scenes/s) — default ON.
+    train_raw: bool = True
+    # solo-sorted per-scale TRAIN gated kernels — the eval per_scale_sort
+    # analogue for the train path's fwd+bwd selection kernels (exact up to
+    # BN-stat reassociation; SetAbstractionMSG.train_per_scale_sort).
+    # Measured 2026-08-19 at the S=10 train default: 12.83 vs 12.48
+    # scenes/s (779 vs 802 ms) — default ON.
+    train_per_scale_sort: bool = True
     # (deleted knobs, measured losers — PERF.md round-8: packed_chain −10%
     # at train S=8 [XLA repack relayout]; serving_fused −26% at serving S=16
     # [XLA already fuses the slot max]. Do not rebuild without new data.)

@@ -223,6 +223,15 @@ class SetAbstractionMSG(nn.Module):
     # the encoder enables this for SA1 only — SA2+ features carry gradients
     # and must keep the non-raw path.
     train_raw: bool = False
+    # run each TRAIN gated scale through its own kernel call with a
+    # solo-optimal query sort (the eval per_scale_sort analogue — the shared
+    # composite order costs scale 1 ~55% of ungated slot work vs ~40% solo,
+    # PERF.md round-3/8; d2 tiles are already per-scale in the gated train
+    # kernel, so splitting re-pays only the launch + the second argsort,
+    # fwd AND bwd). Values identical up to BN-stat reassociation (a pure
+    # per-scale permutation). Measured 2026-08-19 at the S=10 train
+    # default: 12.83 vs 12.48 scenes/s — production default ON (TPUConfig).
+    train_per_scale_sort: bool = False
 
     @staticmethod
     def _pad_pre_inputs(xyz, features):
@@ -460,18 +469,6 @@ class SetAbstractionMSG(nn.Module):
                 )
 
                 bounds = _counts_to_bounds(scale_spec, counts)
-                order = bounds_order_key_argsort(scale_spec, bounds)
-                inv_order = jnp.argsort(order, axis=1)
-                q_sorted = jnp.take_along_axis(new_xyz, order[..., None], axis=1)
-                bounds_sorted = tuple(
-                    (jnp.take_along_axis(nd, order, axis=1), jnp.take_along_axis(th, order, axis=1))
-                    for nd, th in bounds
-                )
-                # packed_slots: kernel emits slot pairs lane-packed
-                # (B, ns/2, M, 2C) — full-lane chain with no XLA relayout
-                ps = self.packed_slots and all(
-                    sc.nsample % 2 == 0 and sc.mlp[0] < 128 for sc in self.scales
-                )
                 if self.train_raw:
                     # raw mode: the A planes never exist in HBM (fwd builds
                     # them in VMEM, the VJP emits dW0 directly); legal here
@@ -482,38 +479,67 @@ class SetAbstractionMSG(nn.Module):
                         jnp.concatenate([xyz, features], axis=-1)
                         if features is not None else xyz
                     ).astype(self.dtype).transpose(0, 2, 1)  # (B, C0, N)
-                    grouped = ball_query_group_pallas_gated_raw(
-                        scale_spec, xyz, q_sorted,
-                        tuple(m.w0_matrix(C0) for m in mlps), raw,
-                        bounds_sorted, self.kernel_interpret, ps,
+
+                def run_scales(sidx):
+                    """One gated kernel call (fwd + custom VJP) over the
+                    scales in ``sidx``, queries sorted by their exact key
+                    (composite across sidx, or solo when len(sidx)==1 —
+                    train_per_scale_sort); pooled outputs are un-permuted,
+                    so only BN-stat reassociation can differ."""
+                    sspec = tuple(scale_spec[i] for i in sidx)
+                    bnds = tuple(bounds[i] for i in sidx)
+                    order = bounds_order_key_argsort(sspec, bnds)
+                    inv_order = jnp.argsort(order, axis=1)
+                    q_sorted = jnp.take_along_axis(new_xyz, order[..., None], axis=1)
+                    bounds_sorted = tuple(
+                        (jnp.take_along_axis(nd, order, axis=1), jnp.take_along_axis(th, order, axis=1))
+                        for nd, th in bnds
                     )
-                    bqs = [m.bq_term(new_xyz, C0) for m in mlps]
-                else:
-                    pres = [m.pre(xyz, features, new_xyz) for m in mlps]
-                    grouped = ball_query_group_pallas_gated(
-                        scale_spec, xyz, q_sorted, tuple(A for A, _ in pres),
-                        bounds_sorted, self.kernel_interpret, ps,
+                    # packed_slots: kernel emits slot pairs lane-packed
+                    # (B, ns/2, M, 2C) — full-lane chain with no XLA relayout
+                    ps = self.packed_slots and all(
+                        self.scales[i].nsample % 2 == 0 and self.scales[i].mlp[0] < 128
+                        for i in sidx
                     )
-                    bqs = [Bq for _, Bq in pres]
-                grouped = tuple(checkpoint_name(g, "sa_kernel") for g in grouped)
-                # grouped tensors are SLOT-MAJOR (B, ns, M, C) — BN/MLP run
-                # in that layout (stats reduce over every non-channel axis,
-                # so axis order is irrelevant), maxpool over axis 1, and only
-                # the pooled (B, M, C2) result is un-permuted.
-                outs = []
-                for m, g, Bq in zip(mlps, grouped, bqs):
-                    Bqs = jnp.take_along_axis(Bq, order[..., None], axis=1)
-                    if ps:
-                        h = m.post(g, Bqs, mask=mask, train=train, slot_major=True, packed=2)
-                        pooled = jnp.max(h, axis=1)  # (B, M, 2*C2) — small
-                        C2 = pooled.shape[-1] // 2
-                        # slot max finishes across the lane pair (exact:
-                        # max is commutative/associative)
-                        pooled = jnp.maximum(pooled[..., :C2], pooled[..., C2:])
+                    if self.train_raw:
+                        grouped = ball_query_group_pallas_gated_raw(
+                            sspec, xyz, q_sorted,
+                            tuple(mlps[i].w0_matrix(C0) for i in sidx), raw,
+                            bounds_sorted, self.kernel_interpret, ps,
+                        )
+                        bqs = [mlps[i].bq_term(new_xyz, C0) for i in sidx]
                     else:
-                        h = m.post(g, Bqs, mask=mask, train=train, slot_major=True)
-                        pooled = jnp.max(h, axis=1)  # (B, M, C2)
-                    outs.append(jnp.take_along_axis(pooled, inv_order[..., None], axis=1))
+                        pres = [mlps[i].pre(xyz, features, new_xyz) for i in sidx]
+                        grouped = ball_query_group_pallas_gated(
+                            sspec, xyz, q_sorted, tuple(A for A, _ in pres),
+                            bounds_sorted, self.kernel_interpret, ps,
+                        )
+                        bqs = [Bq for _, Bq in pres]
+                    grouped = tuple(checkpoint_name(g, "sa_kernel") for g in grouped)
+                    # grouped tensors are SLOT-MAJOR (B, ns, M, C) — BN/MLP run
+                    # in that layout (stats reduce over every non-channel axis,
+                    # so axis order is irrelevant), maxpool over axis 1, and only
+                    # the pooled (B, M, C2) result is un-permuted.
+                    souts = []
+                    for i, g, Bq in zip(sidx, grouped, bqs):
+                        Bqs = jnp.take_along_axis(Bq, order[..., None], axis=1)
+                        if ps:
+                            h = mlps[i].post(g, Bqs, mask=mask, train=train, slot_major=True, packed=2)
+                            pooled = jnp.max(h, axis=1)  # (B, M, 2*C2) — small
+                            C2 = pooled.shape[-1] // 2
+                            # slot max finishes across the lane pair (exact:
+                            # max is commutative/associative)
+                            pooled = jnp.maximum(pooled[..., :C2], pooled[..., C2:])
+                        else:
+                            h = mlps[i].post(g, Bqs, mask=mask, train=train, slot_major=True)
+                            pooled = jnp.max(h, axis=1)  # (B, M, C2)
+                        souts.append(jnp.take_along_axis(pooled, inv_order[..., None], axis=1))
+                    return souts
+
+                if self.train_per_scale_sort:
+                    outs = [run_scales((si,))[0] for si in range(len(scale_spec))]
+                else:
+                    outs = run_scales(tuple(range(len(scale_spec))))
                 return new_xyz, jnp.concatenate(outs, axis=-1)
             pres = [m.pre(xyz, features, new_xyz) for m in mlps]
             grouped = tuple(
@@ -597,6 +623,11 @@ class PointNet2MSGEncoder(nn.Module):
     # training — see SetAbstractionMSG.train_raw). SA2+ keep the non-raw
     # path: their features carry gradients. Opt-in until measured on-chip.
     train_raw: bool = False
+    # solo-sorted per-scale TRAIN gated kernels (exact up to BN-stat
+    # reassociation; measured win 2026-08-19, production default ON — see
+    # SetAbstractionMSG.train_per_scale_sort). Only SA1 hits the gated path
+    # at reference shapes (SA2's 512 supports are single-chunk).
+    train_per_scale_sort: bool = False
 
     @nn.compact
     def __call__(self, pc, mask=None, train: bool = True, paired: bool = False, sa1_cache=None):
@@ -614,7 +645,8 @@ class PointNet2MSGEncoder(nn.Module):
         standard encoder runs — same results, no sharing."""
         knobs = dict(fused_mode=self.fused_mode, kernel_interpret=self.kernel_interpret,
                      packed_slots=self.packed_slots,
-                     per_scale_sort=self.per_scale_sort, eval_subtile=self.eval_subtile)
+                     per_scale_sort=self.per_scale_sort, eval_subtile=self.eval_subtile,
+                     train_per_scale_sort=self.train_per_scale_sort)
         sa1 = SetAbstractionMSG(
             npoint=self.sa_npoints[0],
             scales=(

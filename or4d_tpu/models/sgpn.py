@@ -66,16 +66,22 @@ class SGPN(nn.Module):
     # measured on-chip — see PointNet2MSGEncoder.paired_sa2)
     paired_sa2: bool = False
     # kernel-emitted slot-pair lane packing for the train chain (exact;
-    # opt-in until measured — see SetAbstractionMSG.packed_slots)
-    packed_slots: bool = False
-    # solo-sorted per-scale eval kernels (exact; opt-in until measured — see
-    # SetAbstractionMSG.per_scale_sort)
-    per_scale_sort: bool = False
+    # measured win 2026-08-19 — default ON, matching TPUConfig; see
+    # SetAbstractionMSG.packed_slots)
+    packed_slots: bool = True
+    # solo-sorted per-scale eval kernels (exact; measured 68.3 vs 66.1
+    # scenes/s 2026-08-19 — default ON, see SetAbstractionMSG.per_scale_sort)
+    per_scale_sort: bool = True
     # two-gate sub-tile rows for the fused eval kernels (exact tuning knob)
     eval_subtile: int = 32
     # raw-mode train kernels for SA1 (exact for parameter training — see
-    # PointNet2MSGEncoder.train_raw); opt-in until measured on-chip
-    train_raw: bool = False
+    # PointNet2MSGEncoder.train_raw). Measured 2026-08-19: +4% at S=8,
+    # unlocks the S=10 train peak — default ON.
+    train_raw: bool = True
+    # solo-sorted per-scale TRAIN gated kernels (exact up to BN-stat
+    # reassociation; measured 12.83 vs 12.48 scenes/s 2026-08-19 — default
+    # ON, see SetAbstractionMSG.train_per_scale_sort)
+    train_per_scale_sort: bool = True
     # MULTI_REL_OUTPUTS (reference network_PointNet.py:274-318
     # PointNetRelClsMulti): sigmoid multi-label relation head — rel_logprobs
     # then carries per-relation probabilities, trained with weighted BCE
@@ -101,6 +107,7 @@ class SGPN(nn.Module):
             per_scale_sort=cfg.tpu.per_scale_sort,
             eval_subtile=cfg.tpu.eval_subtile,
             train_raw=cfg.tpu.train_raw,
+            train_per_scale_sort=cfg.tpu.train_per_scale_sort,
             multi_rel_outputs=cfg.model.multi_rel_outputs,
         )
 
@@ -172,7 +179,8 @@ class SGPN(nn.Module):
         enc = dict(sa_npoints=self.sa_npoints, sa_nsamples=self.sa_nsamples,
                    dtype=self.compute_dtype, packed_slots=self.packed_slots,
                    per_scale_sort=self.per_scale_sort, eval_subtile=self.eval_subtile,
-                   train_raw=self.train_raw)
+                   train_raw=self.train_raw,
+                   train_per_scale_sort=self.train_per_scale_sort)
         obj_cache, rel_cache = sa1_caches if sa1_caches is not None else (None, None)
         obj_feat = PointNet2MSGEncoder(input_dim=Co, out_size=self.point_feature_size, name="obj_encoder", **enc)(
             obj_flat, mask=obj_rows_mask, train=train, sa1_cache=obj_cache

@@ -36,12 +36,16 @@ fi
 run python bench.py --scenes 8
 run python bench.py --scenes 16
 run python bench.py --scenes 32
-# 4. train-path numbers (packed_slots is the measured 2026-08-19 default:
-#    700 vs 707 ms at S=8; S=16 still OOMs at 20.7G even packed — the
-#    4.5G+2x2.25G saved chain activations need remat work first.
+# 4. train-path numbers (defaults measured 2026-08-19: S=10 + train_raw
+#    + packed_slots = 12.38 scenes/s; S>=11 OOMs HBM; remat of any policy
+#    cannot cut the bwd peak — PERF.md round-8.
 #    packed_chain measured -10% on 2026-08-18 and was dropped)
-run python bench.py --train --scenes 8
-run python bench.py --train --scenes 8 --no-packed-slots
+run python bench.py --train
+run python bench.py --train --no-train-raw
+run python bench.py --train --no-packed-slots
+# train per-scale sort: measured 12.83 vs 12.48 scenes/s (2026-08-19,
+# measure_r5j) — default ON; keep the A/B honest with the off row
+run python bench.py --train --no-train-per-scale-sort
 # 5. serving mode: precomputed SA1 geometry (separate, clearly-labeled
 #    metric — fixed-eval-set / validate-every-epoch access pattern)
 run python bench.py --serving --scenes 16
@@ -51,10 +55,12 @@ run python bench.py --serving --scenes 64
 #    main numbers). serving_fused and packed_chain were DELETED in round 5
 #    (measured −26% / −10%, PERF.md round-8).
 run python bench.py --scenes 16 --paired-sa2
-# DO NOT re-add --per-scale-sort or --eval-subtile 64 here: both CRASH the
-# TPU worker (kernel fault, 2026-08-18 measure_r4 + r4b logs) and poison
-# every step after them until the worker restarts (~4 min). They need an
-# isolated crash investigation first (PERF.md round-6 measured table).
+run python bench.py --no-per-scale-sort
+# (the 2026-08-18 per_scale_sort / eval-subtile-64 worker crashes did NOT
+# reproduce on the raw-mode kernels — isolated repros scripts/crash_repro.py
+# and full bench runs were clean 2026-08-19, and per_scale_sort measured
+# 68.3 vs 66.1 and is now the default. If a kernel fault ever recurs, run
+# crash repros LAST: a fault poisons ~4 min of subsequent steps.)
 # 7. attribution passes (inform the next lever, cost nothing above):
 #    serving stage split (cache build / steady-state / SA1-alone vs tail)
 run python scripts/bench_serving.py

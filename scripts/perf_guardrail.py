@@ -25,7 +25,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # + 10% grace; see PERF.md round-4 table. None = record only (no recorded
 # best yet — tighten alongside a PERF.md entry once measured).
 BUDGETS = {
-    "fps_with_counts": 110.0,
+    # 2026-08-19 measured best 62.41 (round-5 runs; 64.79 on the clean
+    # re-run) + 10% grace. The one 110.85 reading (measure_r5i) came
+    # immediately after a train bench — a dirty-chip artifact, not a
+    # regression: re-measured 64.79 solo. Run this script ALONE on the
+    # chip (see the module docstring) or the first row reads high.
+    "fps_with_counts": 69.0,
     # 2026-08-18 on-chip re-record (PERF.md driver-round-4 table): 190.9 ms
     # measured — the old 165 budget was aspirational, never a measured best
     # (round-4 PERF table had 188.1 at these shapes).

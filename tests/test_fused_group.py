@@ -514,6 +514,53 @@ class TestFusedGroupMLPSorted:
         g_k = jax.grad(lambda f: loss(packed, f))(feats)
         np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_p), rtol=2e-3, atol=2e-3)
 
+    def test_sa_stage_train_per_scale_sort(self):
+        """train_per_scale_sort (one solo-sorted gated TRAIN kernel call per
+        scale) — same outputs, batch_stats, and gradients as the shared
+        composite-sort call up to BN-stat reassociation, in both the non-raw
+        and raw kernel variants (the production default combines it with
+        train_raw + packed_slots)."""
+        import jax
+
+        from or4d_tpu.models.pointnet2 import SAScale, SetAbstractionMSG
+
+        rng = np.random.default_rng(65)
+        B, N = 2, 1100
+        pc = jnp.asarray((rng.standard_normal((B, N, 3)) * 0.5).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((B, N, 5)).astype(np.float32))
+        scales = (SAScale(0.15, 4, (16, 24)), SAScale(0.3, 6, (32, 16)))
+        base = dict(npoint=128, scales=scales, fused_mode="train_kernel",
+                    kernel_interpret=True, eval_subtile=32)
+        for extra in (dict(), dict(train_raw=True, packed_slots=True)):
+            kw = {**base, **extra}
+            shared = SetAbstractionMSG(**kw)
+            solo = SetAbstractionMSG(train_per_scale_sort=True, **kw)
+            v = shared.init(jax.random.key(0), pc, feats, train=True)
+            (nx_a, f_a), mut_a = shared.apply(v, pc, feats, train=True, mutable=["batch_stats"])
+            (nx_b, f_b), mut_b = solo.apply(v, pc, feats, train=True, mutable=["batch_stats"])
+            np.testing.assert_allclose(np.asarray(nx_b), np.asarray(nx_a), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_a), rtol=1e-4, atol=1e-4)
+            for (ka, sa), (kb, sb) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(mut_a["batch_stats"]), key=str),
+                sorted(jax.tree_util.tree_leaves_with_path(mut_b["batch_stats"]), key=str),
+            ):
+                assert str(ka) == str(kb)
+                np.testing.assert_allclose(np.asarray(sb), np.asarray(sa), rtol=1e-5, atol=1e-5)
+
+            def loss(mod, params):
+                _, out = mod.apply({**v, "params": params}, pc, feats, train=True,
+                                   mutable=["batch_stats"])[0]
+                return jnp.sum(out * out)
+
+            g_a = jax.grad(lambda p: loss(shared, p))(v["params"])
+            g_b = jax.grad(lambda p: loss(solo, p))(v["params"])
+            for (ka, a), (kb, b) in zip(
+                sorted(jax.tree_util.tree_leaves_with_path(g_a), key=str),
+                sorted(jax.tree_util.tree_leaves_with_path(g_b), key=str),
+            ):
+                assert str(ka) == str(kb)
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3)
+
     def test_sa_stage_v4_end_to_end(self):
         """SetAbstractionMSG's v4 eval path (FPS-fused counts -> bounds ->
         v4 kernel, interpret mode) equals the index path."""
