@@ -99,7 +99,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     # train S=16 OOMs HBM without --remat (20.7G/15.75G measured 2026-08-19);
-    # eval peaks at S=64 under v4 raw mode (S=96 measured 63.6 — down);
+    # eval peaks at S=64 under v4 raw mode (S=80 measured equal at 68.2,
+    # S=96 measured 63.6 — down);
     # train peaks at S=10 under raw-mode kernels (S>=11 OOMs HBM)
     S = args.scenes if args.scenes is not None else (10 if args.train else 64)
     ds = DatasetConfig()  # paper shapes: 12 obj x 4000 pts, 132 edges x 8000 pts
