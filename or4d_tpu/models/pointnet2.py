@@ -281,17 +281,44 @@ class SetAbstractionMSG(nn.Module):
         if cache is not None:
             # serving: FPS/ball query precomputed (or4d_tpu/serving.py) —
             # only the weights-dependent MLP chain runs
-            # (a fused VMEM kernel for this chain — serving_fused — measured
-            # −26% on-chip 2026-08-18: XLA fuses the slot max itself; deleted,
-            # PERF.md round-8)
             mlps_c = [
                 DelayedSharedMLP(sc.mlp, radius=sc.radius, nsample=sc.nsample,
                                  dtype=self.dtype, name=f"mlp_{si}")
                 for si, sc in enumerate(self.scales)
             ]
+            kernel_ok = (
+                getattr(cache, "channel_major", False)
+                and not train
+                and all(len(sc.mlp) == 2 for sc in self.scales)
+                and (jax.default_backend() == "tpu" or self.kernel_interpret)
+            )
+            if kernel_ok:
+                # fused serving kernel: the whole bf16 chain + slot max in
+                # VMEM off the channel-major planes (the XLA from_grouped
+                # formulation materializes multi-GB (B, M, ns, C) HBM
+                # intermediates — measured 129 of 215 ms at S=64; a first
+                # row-major-layout kernel attempt measured −26% and was
+                # deleted — ops/pallas_serving_mlp.py has the story)
+                from or4d_tpu.ops.pallas_serving_mlp import serving_sa1_mlp_pallas
+
+                outs = [
+                    serving_sa1_mlp_pallas(
+                        g, m.bq_term(cache.new_xyz, cache.c0), m.w0_matrix(cache.c0),
+                        *m.fused_eval_params(), interpret=self.kernel_interpret,
+                    )
+                    for m, g in zip(mlps_c, cache.grouped)
+                ]
+                return cache.new_xyz, jnp.concatenate(outs, axis=-1)
+            grouped = cache.grouped
+            if getattr(cache, "channel_major", False):
+                # XLA fallback for a channel-major cache (e.g. persisted on
+                # TPU, loaded off it): restore the (R, M, ns, C0) layout
+                grouped = tuple(
+                    g.transpose(0, 3, 1, 2)[..., : cache.c0] for g in grouped
+                )
             outs = [
                 jnp.max(m.from_grouped(g, cache.new_xyz, mask=mask, train=train), axis=2)
-                for m, g in zip(mlps_c, cache.grouped)
+                for m, g in zip(mlps_c, grouped)
             ]
             return cache.new_xyz, jnp.concatenate(outs, axis=-1)
 

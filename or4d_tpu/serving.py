@@ -40,17 +40,29 @@ from or4d_tpu.ops.pallas_ball_query import ball_query_multiscale
 
 @dataclasses.dataclass
 class SA1Cache:
-    """Per-row-set SA1 geometry: centroids + grouped layer-0 planes."""
+    """Per-row-set SA1 geometry: centroids + grouped layer-0 planes.
+
+    ``channel_major``: grouped planes are (R, ns, C0p, M) — queries in
+    lanes, channels (zero-padded to a sublane multiple) in sublanes — the
+    layout the fused serving kernel streams at full lane utilization
+    (ops/pallas_serving_mlp.py; the natural (R, M, ns, C0) layout puts
+    C0=6-7 in the lane dim, a ~18x HBM read blowup). ``c0`` records the true
+    channel count under the pad.
+    """
 
     new_xyz: Any  # (R, M, 3) f32
-    grouped: Any  # tuple per scale: (R, M, ns, 3 + F) — [p_abs | features]
+    grouped: Any  # tuple per scale: (R, M, ns, C0) — or (R, ns, C0p, M) channel-major
+    channel_major: bool = False
+    c0: int = 0
 
 
-jax.tree_util.register_dataclass(SA1Cache, data_fields=["new_xyz", "grouped"], meta_fields=[])
+jax.tree_util.register_dataclass(
+    SA1Cache, data_fields=["new_xyz", "grouped"], meta_fields=["channel_major", "c0"]
+)
 
 
 def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int], ...],
-                    dtype=jnp.float32) -> SA1Cache:
+                    dtype=jnp.float32, channel_major: bool = False) -> SA1Cache:
     """One-time geometry precompute for a set of crops ``pc`` (R, P, C):
     FPS -> centroids, ball query per scale -> grouped [p_abs | f] planes.
 
@@ -64,9 +76,13 @@ def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int],
     the cold path casts the very same values to that dtype at each dense
     entry (DelayedSharedMLP.pre/from_grouped), so a dtype-stored cache feeds
     bit-identical matmul inputs. Centroids stay f32 (geometry contract).
+
+    ``channel_major``: emit the fused serving kernel's (R, ns, C0p, M)
+    layout (see SA1Cache); same values, transposed + channel-padded.
     """
     xyz = pc[..., :3].astype(jnp.float32)
     feats = pc[..., 3:]
+    c0 = pc.shape[-1]
     idx = ops.furthest_point_sample(xyz, npoint)
     new_xyz = jnp.take_along_axis(xyz, idx[..., None], axis=1)  # (R, M, 3)
     scale_idx = ball_query_multiscale(scales, xyz, new_xyz)
@@ -74,17 +90,32 @@ def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int],
     for qidx in scale_idx:  # (R, M, ns)
         g_xyz = jnp.take_along_axis(xyz[:, :, None, :], qidx[..., None], axis=1)
         g_f = jnp.take_along_axis(feats[:, :, None, :], qidx[..., None], axis=1)
-        grouped.append(
-            jnp.concatenate([g_xyz, g_f.astype(jnp.float32)], axis=-1).astype(dtype)
-        )
-    return SA1Cache(new_xyz=new_xyz, grouped=tuple(grouped))
+        g = jnp.concatenate([g_xyz, g_f.astype(jnp.float32)], axis=-1).astype(dtype)
+        if channel_major:
+            c0p = _round_up(c0, 8)
+            g = jnp.pad(g.transpose(0, 2, 3, 1), ((0, 0), (0, 0), (0, c0p - c0), (0, 0)))
+        grouped.append(g)
+    return SA1Cache(new_xyz=new_xyz, grouped=tuple(grouped),
+                    channel_major=channel_major, c0=c0)
 
 
-def build_sgpn_sa1_caches(model, batch, pack=None) -> tuple[SA1Cache, SA1Cache]:
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_sgpn_sa1_caches(model, batch, pack=None,
+                          channel_major: bool | None = None) -> tuple[SA1Cache, SA1Cache]:
     """(obj_cache, rel_cache) for an SGPN eval batch, matching the row layout
     the model's encoders see (flattened slots, optionally SlotPack-compacted
     — the same gathers models/sgpn.py applies; per-shard local gathers for
-    dp-sharded packs). Jit-safe; run once per batch of a fixed eval set."""
+    dp-sharded packs). Jit-safe; run once per batch of a fixed eval set.
+
+    ``channel_major``: emit the fused serving kernel's plane layout
+    (None = auto: channel-major on the TPU backend, where the kernel runs;
+    the natural layout elsewhere — the XLA from_grouped path reads it
+    directly)."""
+    if channel_major is None:
+        channel_major = jax.default_backend() == "tpu"
     S, O, Po, Co = batch.obj_points.shape
     _, E, Pr, Cr = batch.rel_points.shape
     obj_flat = batch.obj_points.reshape(S * O, Po, Co).astype(jnp.float32)
@@ -112,12 +143,12 @@ def build_sgpn_sa1_caches(model, batch, pack=None) -> tuple[SA1Cache, SA1Cache]:
     npoint = model.sa_npoints[0]
     dtype = model.compute_dtype
     return (
-        build_sa1_cache(obj_flat, npoint, sa1_scales, dtype=dtype),
-        build_sa1_cache(rel_flat, npoint, sa1_scales, dtype=dtype),
+        build_sa1_cache(obj_flat, npoint, sa1_scales, dtype=dtype, channel_major=channel_major),
+        build_sa1_cache(rel_flat, npoint, sa1_scales, dtype=dtype, channel_major=channel_major),
     )
 
 
-def _cache_key(batch, dp: int, model, dtype) -> str:
+def _cache_key(batch, dp: int, model, dtype, channel_major: bool = False) -> str:
     """Content key for a persisted serving cache: scan identity + padded
     shapes + validity masks + the geometry config (npoint/nsamples/radii are
     fixed per model) + shard count + storage dtype. Crop CONTENT is assumed
@@ -135,7 +166,7 @@ def _cache_key(batch, dp: int, model, dtype) -> str:
         tuple(batch.scan_ids), tuple(batch.take_idxs),
         tuple(batch.obj_points.shape), tuple(batch.rel_points.shape), dp,
         tuple(model.sa_npoints), tuple(tuple(s) for s in model.sa_nsamples),
-        tuple(SA1_RADII), str(np.dtype(dtype)),
+        tuple(SA1_RADII), str(np.dtype(dtype)), bool(channel_major),
     )).encode())
     h.update(np.ascontiguousarray(np.asarray(batch.obj_mask)).tobytes())
     h.update(np.ascontiguousarray(np.asarray(batch.edge_mask)).tobytes())
@@ -155,6 +186,8 @@ def _save_caches(path, caches) -> None:
     for prefix, c in (("obj", caches[0]), ("rel", caches[1])):
         arrays[f"{prefix}_new_xyz"] = np.asarray(c.new_xyz)
         meta[f"{prefix}_n"] = len(c.grouped)
+        meta[f"{prefix}_cm"] = bool(c.channel_major)
+        meta[f"{prefix}_c0"] = int(c.c0)
         for i, g in enumerate(c.grouped):
             g = np.asarray(g)
             if g.dtype == ml_dtypes.bfloat16:
@@ -184,7 +217,9 @@ def _load_caches(path):
             if meta[f"{prefix}_g{i}"] == "bfloat16":
                 g = g.view(ml_dtypes.bfloat16)
             grouped.append(g)
-        return SA1Cache(new_xyz=z[f"{prefix}_new_xyz"], grouped=tuple(grouped))
+        return SA1Cache(new_xyz=z[f"{prefix}_new_xyz"], grouped=tuple(grouped),
+                        channel_major=bool(meta.get(f"{prefix}_cm", False)),
+                        c0=int(meta.get(f"{prefix}_c0", 0)))
 
     return one("obj"), one("rel")
 
@@ -212,7 +247,8 @@ class ServingEvaluator:
     is dp-only (train/loop.py:_pack_for)."""
 
     def __init__(self, trainer, batches, offload: bool | str = "auto",
-                 device_budget_bytes: int = 4 << 30, cache_dir=None):
+                 device_budget_bytes: int = 4 << 30, cache_dir=None,
+                 channel_major: bool | None = None):
         import dataclasses as dc
         from pathlib import Path
 
@@ -234,7 +270,14 @@ class ServingEvaluator:
                 "SA1 caches are built against, is disabled on mp>1 — "
                 "train/loop.py:_pack_for)"
             )
-        self._build = jax.jit(lambda b, p: build_sgpn_sa1_caches(trainer.model, b, p))
+        # channel-major planes on the TPU backend (the fused serving kernel's
+        # layout); the natural layout elsewhere (XLA from_grouped path).
+        # ``channel_major`` overrides the auto choice (tests; off-TPU the
+        # model's cache branch restores the row layout, so either works).
+        self._cm = (jax.default_backend() == "tpu") if channel_major is None else channel_major
+        self._build = jax.jit(
+            lambda b, p: build_sgpn_sa1_caches(trainer.model, b, p, channel_major=self._cm)
+        )
         self._cache_sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -272,7 +315,7 @@ class ServingEvaluator:
             if self.mesh is not None and batch.num_scenes % dp:
                 batch = batch.pad_scenes(dp)
             cache_file = (
-                cache_dir / f"sa1_{_cache_key(batch, dp, trainer.model, trainer.model.compute_dtype)}.npz"
+                cache_dir / f"sa1_{_cache_key(batch, dp, trainer.model, trainer.model.compute_dtype, self._cm)}.npz"
                 if cache_dir is not None
                 else None
             )
