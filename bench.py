@@ -166,6 +166,9 @@ def main() -> None:
         # across every checkpoint/epoch), then the fast path only
         from or4d_tpu.serving import build_sgpn_sa1_caches
 
+        # channel_major auto-resolves: cm planes + the fused VMEM kernel on
+        # the TPU backend (ops/pallas_serving_mlp.py, +23% on-chip and
+        # bit-equal to cold eval), the XLA from_grouped chain elsewhere
         caches = jax.jit(lambda b, p: build_sgpn_sa1_caches(model, b, p))(batch, pack)
         fwd = jax.jit(
             lambda v, b, p, c: model.apply(v, b, train=False, pack=p, sa1_caches=c).rel_logprobs.sum()
@@ -220,6 +223,8 @@ def main() -> None:
             path += "+train_per_scale_sort"
     elif args.serving:
         path = "serving+sa1_cache"
+        if caches[0].channel_major:
+            path += "+cm_kernel"
     else:
         path = "eval"
         path += "+paired" if paired else "+UNPAIRED_FALLBACK"
