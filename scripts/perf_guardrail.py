@@ -44,6 +44,11 @@ BUDGETS = {
     # and materializes A in VMEM (PERF.md round-7). 2026-08-19 measured
     # 97.8 ms (round-5 guardrail run) + 10% grace.
     "sa1_rel_v4_paired_raw": 108.0,
+    # serving fast path: the fused channel-major SA1 chain kernel
+    # (ops/pallas_serving_mlp.py) over both SA1 scales at 640 rows — the
+    # stage that makes serving 367.5 scenes/s (PERF.md round-8).
+    # 2026-08-19 measured 33.96 ms + 10% grace.
+    "serving_sa1_mlp": 37.5,
 }
 
 
@@ -154,8 +159,29 @@ def main() -> int:
         pxyz, pq, rparams, pbounds, raw,
     )
 
+    # serving kernel: unpaired 640 rows, channel-major cached planes
+    # (rows, ns, C0p, 512) per scale — the serving bench's SA1 stage shapes
+    from or4d_tpu.ops.pallas_serving_mlp import serving_sa1_mlp_pallas
+
+    sparams = []
+    for (r, ns), (A, Bq, a0, b0, W1, a1, b1) in zip(scales, params):
+        c1, c2 = W1.shape
+        g = jax.device_put(
+            jnp.asarray(rng.standard_normal((rows, ns, 8, 512)).astype(np.float32))
+            .at[:, :, C0:, :].set(0.0).astype(jnp.bfloat16)
+        )
+        W0 = jnp.asarray(rng.standard_normal((C0, c1)).astype(np.float32)).astype(jnp.bfloat16)
+        sparams.append((g, Bq.astype(jnp.bfloat16), W0, a0, b0, W1, a1, b1))
+    sparams = tuple(sparams)
+    jax.block_until_ready(sparams)
+    t_serv = timeit(
+        lambda p0, p1: serving_sa1_mlp_pallas(*p0).sum() + serving_sa1_mlp_pallas(*p1).sum(),
+        sparams[0], sparams[1],
+    )
+
     results = {"fps_with_counts": t_fps, "sa1_rel_v4": t_sa1,
-               "sa1_rel_v4_paired": t_paired, "sa1_rel_v4_paired_raw": t_praw}
+               "sa1_rel_v4_paired": t_paired, "sa1_rel_v4_paired_raw": t_praw,
+               "serving_sa1_mlp": t_serv}
     ok = True
     for k, v in results.items():
         budget = BUDGETS[k]
