@@ -294,27 +294,33 @@ class SetAbstractionMSG(nn.Module):
             )
             if kernel_ok:
                 # fused serving kernel: the whole bf16 chain + slot max in
-                # VMEM off the channel-major planes (the XLA from_grouped
-                # formulation materializes multi-GB (B, M, ns, C) HBM
-                # intermediates — measured 129 of 215 ms at S=64; a first
-                # row-major-layout kernel attempt measured −26% and was
-                # deleted — ops/pallas_serving_mlp.py has the story)
+                # VMEM off the slot-flattened channel-major planes (the XLA
+                # from_grouped formulation materializes multi-GB
+                # (B, M, ns, C) HBM intermediates — measured 129 of 215 ms
+                # at S=64; a first row-major-layout kernel attempt measured
+                # −26% and was deleted — ops/pallas_serving_mlp.py has the
+                # layout story)
                 from or4d_tpu.ops.pallas_serving_mlp import serving_sa1_mlp_pallas
 
                 outs = [
                     serving_sa1_mlp_pallas(
                         g, m.bq_term(cache.new_xyz, cache.c0), m.w0_matrix(cache.c0),
-                        *m.fused_eval_params(), interpret=self.kernel_interpret,
+                        *m.fused_eval_params(), ns=sc.nsample,
+                        interpret=self.kernel_interpret,
                     )
-                    for m, g in zip(mlps_c, cache.grouped)
+                    for m, sc, g in zip(mlps_c, self.scales, cache.grouped)
                 ]
                 return cache.new_xyz, jnp.concatenate(outs, axis=-1)
             grouped = cache.grouped
             if getattr(cache, "channel_major", False):
                 # XLA fallback for a channel-major cache (e.g. persisted on
                 # TPU, loaded off it): restore the (R, M, ns, C0) layout
+                # from the slot-flattened (R, C0p, ns*Mp) planes
+                M = cache.new_xyz.shape[1]
                 grouped = tuple(
-                    g.transpose(0, 3, 1, 2)[..., : cache.c0] for g in grouped
+                    g.reshape(g.shape[0], g.shape[1], sc.nsample, -1)[..., :M]
+                    .transpose(0, 3, 2, 1)[..., : cache.c0]
+                    for sc, g in zip(self.scales, grouped)
                 )
             outs = [
                 jnp.max(m.from_grouped(g, cache.new_xyz, mask=mask, train=train), axis=2)

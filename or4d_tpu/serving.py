@@ -42,16 +42,18 @@ from or4d_tpu.ops.pallas_ball_query import ball_query_multiscale
 class SA1Cache:
     """Per-row-set SA1 geometry: centroids + grouped layer-0 planes.
 
-    ``channel_major``: grouped planes are (R, ns, C0p, M) — queries in
-    lanes, channels (zero-padded to a sublane multiple) in sublanes — the
-    layout the fused serving kernel streams at full lane utilization
+    ``channel_major``: grouped planes are slot-flattened channel-major
+    (R, C0p, ns*Mp) — lane s*Mp+m holds (slot s, query m) with Mp =
+    round_up(M, 8) zero-padded queries, channels (zero-padded to a sublane
+    multiple) in sublanes — the layout the fused serving kernel streams at
+    full lane utilization with whole slot chunks per MXU op
     (ops/pallas_serving_mlp.py; the natural (R, M, ns, C0) layout puts
     C0=6-7 in the lane dim, a ~18x HBM read blowup). ``c0`` records the true
     channel count under the pad.
     """
 
     new_xyz: Any  # (R, M, 3) f32
-    grouped: Any  # tuple per scale: (R, M, ns, C0) — or (R, ns, C0p, M) channel-major
+    grouped: Any  # tuple per scale: (R, M, ns, C0) — or (R, C0p, ns*Mp) channel-major
     channel_major: bool = False
     c0: int = 0
 
@@ -77,8 +79,9 @@ def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int],
     entry (DelayedSharedMLP.pre/from_grouped), so a dtype-stored cache feeds
     bit-identical matmul inputs. Centroids stay f32 (geometry contract).
 
-    ``channel_major``: emit the fused serving kernel's (R, ns, C0p, M)
-    layout (see SA1Cache); same values, transposed + channel-padded.
+    ``channel_major``: emit the fused serving kernel's slot-flattened
+    (R, C0p, ns*Mp) layout (see SA1Cache); same values, transposed +
+    channel/query-padded.
     """
     xyz = pc[..., :3].astype(jnp.float32)
     feats = pc[..., 3:]
@@ -92,8 +95,13 @@ def build_sa1_cache(pc: jax.Array, npoint: int, scales: tuple[tuple[float, int],
         g_f = jnp.take_along_axis(feats[:, :, None, :], qidx[..., None], axis=1)
         g = jnp.concatenate([g_xyz, g_f.astype(jnp.float32)], axis=-1).astype(dtype)
         if channel_major:
+            # (R, M, ns, C0) -> slot-flattened channel-major (R, C0p, ns*Mp)
             c0p = _round_up(c0, 8)
-            g = jnp.pad(g.transpose(0, 2, 3, 1), ((0, 0), (0, 0), (0, c0p - c0), (0, 0)))
+            R, M, ns, _ = g.shape
+            mp = _round_up(M, 8)
+            g = g.transpose(0, 3, 2, 1)  # (R, C0, ns, M)
+            g = jnp.pad(g, ((0, 0), (0, c0p - c0), (0, 0), (0, mp - M)))
+            g = g.reshape(R, c0p, ns * mp)
         grouped.append(g)
     return SA1Cache(new_xyz=new_xyz, grouped=tuple(grouped),
                     channel_major=channel_major, c0=c0)
@@ -166,7 +174,9 @@ def _cache_key(batch, dp: int, model, dtype, channel_major: bool = False) -> str
         tuple(batch.scan_ids), tuple(batch.take_idxs),
         tuple(batch.obj_points.shape), tuple(batch.rel_points.shape), dp,
         tuple(model.sa_npoints), tuple(tuple(s) for s in model.sa_nsamples),
-        tuple(SA1_RADII), str(np.dtype(dtype)), bool(channel_major),
+        # layout version 3 = slot-flattened channel-major (R, C0p, ns*Mp);
+        # bumping invalidates persisted v2 (R, ns, C0p, M) caches
+        tuple(SA1_RADII), str(np.dtype(dtype)), 3 if channel_major else 0,
     )).encode())
     h.update(np.ascontiguousarray(np.asarray(batch.obj_mask)).tobytes())
     h.update(np.ascontiguousarray(np.asarray(batch.edge_mask)).tobytes())

@@ -167,15 +167,16 @@ def main() -> int:
     for (r, ns), (A, Bq, a0, b0, W1, a1, b1) in zip(scales, params):
         c1, c2 = W1.shape
         g = jax.device_put(
-            jnp.asarray(rng.standard_normal((rows, ns, 8, 512)).astype(np.float32))
-            .at[:, :, C0:, :].set(0.0).astype(jnp.bfloat16)
+            jnp.asarray(rng.standard_normal((rows, 8, ns * 512)).astype(np.float32))
+            .at[:, C0:, :].set(0.0).astype(jnp.bfloat16)
         )
         W0 = jnp.asarray(rng.standard_normal((C0, c1)).astype(np.float32)).astype(jnp.bfloat16)
         sparams.append((g, Bq.astype(jnp.bfloat16), W0, a0, b0, W1, a1, b1))
-    sparams = tuple(sparams)
     jax.block_until_ready(sparams)
+    nss = tuple(ns for _, ns in scales)
     t_serv = timeit(
-        lambda p0, p1: serving_sa1_mlp_pallas(*p0).sum() + serving_sa1_mlp_pallas(*p1).sum(),
+        lambda p0, p1: serving_sa1_mlp_pallas(*p0, nss[0]).sum()
+        + serving_sa1_mlp_pallas(*p1, nss[1]).sum(),
         sparams[0], sparams[1],
     )
 

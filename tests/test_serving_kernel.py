@@ -22,11 +22,14 @@ TINY = DatasetConfig(num_points_objects=96, num_points_relation=128,
                      max_objects=4, max_edges=12, data_augmentation=False)
 
 
-def _chain_reference(g_cm, Bq, W0, a0, b0, W1, a1, b1, c0):
+def _chain_reference(g_cm, Bq, W0, a0, b0, W1, a1, b1, c0, ns):
     """The serving chain in plain jnp, mirroring the kernel's dtype flow:
     A = dtype(f32-accum g_s @ W0); f32 affine/relu; dtype matmul; slot max."""
-    R, ns, c0p, M = g_cm.shape
-    g = g_cm[:, :, :c0, :].transpose(0, 3, 1, 2)  # (R, M, ns, C0)
+    R, c0p, ns_mp = g_cm.shape
+    M = Bq.shape[1]
+    # slot-flattened (R, C0p, ns*Mp) -> (R, M, ns, C0)
+    g = (g_cm.reshape(R, c0p, ns, ns_mp // ns)[:, :c0, :, :M]
+         .transpose(0, 3, 2, 1))
     A = jnp.einsum(
         "rmsc,cd->rmsd", g.astype(jnp.float32), W0.astype(jnp.float32)
     ).astype(W0.dtype)
@@ -42,7 +45,10 @@ def _chain_reference(g_cm, Bq, W0, a0, b0, W1, a1, b1, c0):
 def _rand_inputs(dtype, R=3, ns=4, c0=7, M=16, C1=8, C2=16, seed=0):
     k = jax.random.split(jax.random.key(seed), 8)
     c0p = 8
-    g = jax.random.normal(k[0], (R, ns, c0p, M)).at[:, :, c0:, :].set(0.0).astype(dtype)
+    mp = -(-M // 8) * 8
+    g = jax.random.normal(k[0], (R, c0p, ns, mp))
+    g = g.at[:, c0:].set(0.0).at[:, :, :, M:].set(0.0)
+    g = g.reshape(R, c0p, ns * mp).astype(dtype)
     Bq = jax.random.normal(k[1], (R, M, C1)).astype(dtype)
     W0 = jax.random.normal(k[2], (c0, C1)).astype(dtype)
     a0 = jax.random.normal(k[3], (C1,)) * 0.5 + 1.0
@@ -50,15 +56,15 @@ def _rand_inputs(dtype, R=3, ns=4, c0=7, M=16, C1=8, C2=16, seed=0):
     W1 = jax.random.normal(k[5], (C1, C2)).astype(dtype)
     a1 = jax.random.normal(k[6], (C2,)) * 0.5 + 1.0
     b1 = jax.random.normal(k[7], (C2,)) * 0.1
-    return g, Bq, W0, a0, b0, W1, a1, b1, c0
+    return g, Bq, W0, a0, b0, W1, a1, b1, c0, ns
 
 
 class TestServingKernel:
     @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
     def test_kernel_matches_chain_reference(self, dtype):
-        g, Bq, W0, a0, b0, W1, a1, b1, c0 = _rand_inputs(dtype)
-        out = serving_sa1_mlp_pallas(g, Bq, W0, a0, b0, W1, a1, b1, True)
-        ref = _chain_reference(g, Bq, W0, a0, b0, W1, a1, b1, c0)
+        g, Bq, W0, a0, b0, W1, a1, b1, c0, ns = _rand_inputs(dtype)
+        out = serving_sa1_mlp_pallas(g, Bq, W0, a0, b0, W1, a1, b1, ns, True)
+        ref = _chain_reference(g, Bq, W0, a0, b0, W1, a1, b1, c0, ns)
         # f32: the einsum reference reassociates the K-dim sum vs the kernel
         # dot — accumulation-order noise only (observed max rel 1.6e-7)
         atol = 1e-4 if dtype == jnp.float32 else 1e-1
@@ -66,13 +72,25 @@ class TestServingKernel:
             np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=0, atol=atol
         )
 
+    @pytest.mark.parametrize("rows,chunk", [(1, 1), (4, 2), (8, 4)])
+    def test_kernel_row_blocks_and_chunks(self, rows, chunk):
+        # rb rows per grid program x chunk slots per MXU op: pure scheduling
+        # knobs — results must match the reference for every combination
+        g, Bq, W0, a0, b0, W1, a1, b1, c0, ns = _rand_inputs(jnp.float32, R=8)
+        out = serving_sa1_mlp_pallas(g, Bq, W0, a0, b0, W1, a1, b1, ns, True, chunk, rows)
+        ref = _chain_reference(g, Bq, W0, a0, b0, W1, a1, b1, c0, ns)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=1e-4
+        )
+
     def test_kernel_pads_m_to_sublane(self):
-        # M=12 -> padded to 16 internally, output sliced back
-        g, Bq, W0, a0, b0, W1, a1, b1, c0 = _rand_inputs(jnp.float32, M=12)
-        out = serving_sa1_mlp_pallas(g, Bq, W0, a0, b0, W1, a1, b1, True)
-        ref = _chain_reference(g, Bq, W0, a0, b0, W1, a1, b1, c0)
+        # M=12 -> cache rows padded to Mp=16, output sliced back
+        g, Bq, W0, a0, b0, W1, a1, b1, c0, ns = _rand_inputs(jnp.float32, M=12)
+        out = serving_sa1_mlp_pallas(g, Bq, W0, a0, b0, W1, a1, b1, ns, True)
+        ref = _chain_reference(g, Bq, W0, a0, b0, W1, a1, b1, c0, ns)
         assert out.shape == ref.shape
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=1e-5)
+        # f32 accumulation-order noise only (einsum reference vs chunked dot)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0, atol=1e-4)
 
     def test_sa_module_cm_cache_matches_row_major(self):
         # SetAbstractionMSG cache branch: kernel (interpret) off the
@@ -93,7 +111,7 @@ class TestServingKernel:
         cache_rm = build_sa1_cache(pc, 32, scales)
         cache_cm = build_sa1_cache(pc, 32, scales, channel_major=True)
         assert cache_cm.channel_major and cache_cm.c0 == C
-        assert cache_cm.grouped[0].shape == (R, 4, 8, 32)
+        assert cache_cm.grouped[0].shape == (R, 8, 4 * 32)
         ref_xyz, ref = sa_plain.apply(variables, None, None, train=False, cache=cache_rm)
         out_xyz, out = sa_kernel.apply(variables, None, None, train=False, cache=cache_cm)
         np.testing.assert_array_equal(np.asarray(ref_xyz), np.asarray(out_xyz))
